@@ -1,0 +1,52 @@
+"""Crawl configuration.
+
+Reference analog: cocrawler/config.py† (YAML + defaults + CLI overrides;
+see SURVEY.md §0 for the † citation convention — the reference tree was
+empty, so module+symbol citations are behavioral, not line-anchored).
+Ours is a frozen dataclass created on the driver and captured by closure
+into vectorized UDFs; there is no runtime YAML machinery because config
+is code in a library engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, asdict, replace
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    """All knobs of the crawl decision procedure (FIXTURES.md §4).
+
+    The oracle simulator and the Spark engine consume the *same* object,
+    which is what makes 'identical seed list + politeness budget ⇒
+    identical crawl order' well defined (SURVEY.md §3.2).
+    """
+
+    max_depth: int = 3
+    max_tries: int = 3
+    max_pages: int = 10_000_000
+    max_pages_per_host: int = 10_000_000
+    wave_budget_seconds: float = 30.0
+    default_crawl_delay: float = 1.0
+    seed_priority: int = 0
+    # links found on a page get parent.priority + link_priority_delta
+    link_priority_delta: int = 1
+    # embeds (media refs) get parent.priority + embed_priority_delta
+    embed_priority_delta: int = 2
+    rng_seed: int = 42
+    # robots cache TTL measured in waves (reference: TTLCache seconds†)
+    robots_ttl_waves: int = 5
+    # deterministic "flaky fetch" model: 1 in flaky_mod URLs fail their
+    # first attempt (exercises the tries/retry gate; SURVEY.md §2b)
+    flaky_mod: int = 10
+    # hard stop on wave count (safety net, not part of reference semantics)
+    max_waves: int = 32
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    def with_(self, **kw) -> "CrawlConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = CrawlConfig()

@@ -1,0 +1,264 @@
+"""URL cleaning, canonicalization, and redirect classification.
+
+Reference analogs (behavioral; SURVEY.md §0 citation convention):
+  - cocrawler/urls.py — class URL† : parse + canonicalize (lowercase
+    scheme/host, IDNA host, strip default port, drop fragment, resolve
+    relative against base, normalize percent-encoding).
+  - cocrawler/urls.py — clean_webpage_links† : strip whitespace, quotes
+    and backslashes from scraped hrefs.
+  - cocrawler/urls.py — special_redirect† : classify redirect pairs
+    (same-surt / add-www / remove-www / http→https / combinations).
+
+Two layers:
+  1. Pure-Python core (`canonicalize_one`, `clean_link`,
+     `special_redirect`) — shared with the oracle simulator and unit
+     tests; its semantics are pinned by hand-written golden cases in
+     tests/test_urls.py, independent of the engine.
+  2. Arrow-vectorized binding (`canonicalize_udf`) — a pandas UDF
+     operating per *batch* (input_hint mandates: no per-row Python at the
+     Spark level). Inside the batch we loop in CPython over the pandas
+     Series; that is the standard Arrow-batched pattern — the per-row
+     work is a few string ops, the Spark-side boundary is vectorized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+from urllib.parse import urljoin, urlsplit
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .surt import surt_from_parts
+
+ALLOWED_SCHEMES = ("http", "https")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# characters that clean_webpage_links† strips from scraped hrefs
+_STRIP_CHARS = " \t\r\n\"'\\"
+
+# RFC 3986 unreserved characters — these are *decoded* during
+# percent-encoding normalization; everything else is re-encoded uppercase.
+_UNRESERVED = set(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+
+
+def clean_link(raw: str) -> str:
+    """Strip whitespace/quote/backslash noise from a scraped href."""
+    if raw is None:
+        return ""
+    s = raw.strip(_STRIP_CHARS)
+    # internal newlines/tabs inside an href are scrape noise
+    return s.replace("\n", "").replace("\r", "").replace("\t", "")
+
+
+import re
+
+_PCT_RE = re.compile("%([0-9a-fA-F]{2})")
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+
+
+def _normalize_pct(component: str) -> str:
+    """Normalize percent-encoding: decode escapes of UNRESERVED chars
+    (``%7E`` → ``~``), uppercase the hex of everything else (``%2f`` →
+    ``%2F``). Reserved characters stay encoded — decoding them would
+    change the URL's meaning (RFC 3986 §2.2)."""
+    if not component or "%" not in component:
+        return component
+
+    def fix(m):
+        ch = chr(int(m.group(1), 16))
+        if ch in _UNRESERVED:
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(fix, component)
+
+
+def _idna_host(host: str) -> str:
+    host = host.lower().rstrip(".")
+    if not host:
+        return host
+    try:
+        host.encode("ascii")
+        return host
+    except UnicodeEncodeError:
+        pass
+    try:
+        return host.encode("idna").decode("ascii")
+    except (UnicodeError, UnicodeDecodeError):
+        return host
+
+
+@dataclass(frozen=True)
+class CanonUrl:
+    url: str
+    scheme: str
+    host: str
+    path: str
+    query: str
+    surt: str
+
+    @staticmethod
+    def empty() -> "CanonUrl":
+        return CanonUrl("", "", "", "", "", "")
+
+
+def canonicalize_one(raw: str, base: Optional[str] = None) -> CanonUrl:
+    """Canonicalize one URL (optionally resolving relative to `base`).
+
+    Returns CanonUrl.empty() for unusable inputs (no host, unsupported
+    scheme for non-http(s) absolute URLs are still returned with their
+    scheme so callers can filter — mirroring the reference, where the
+    scheme gate lives in add_url†, not in URL parsing).
+    """
+    s = clean_link(raw)
+    if not s:
+        return CanonUrl.empty()
+    if base:
+        try:
+            s = urljoin(base, s)
+        except ValueError:
+            return CanonUrl.empty()
+    elif "://" not in s and not s.startswith("//"):
+        # seed-style scheme defaulting (cocrawler/seeds.py†): prepend
+        # http:// unless the prefix is a genuine non-http scheme like
+        # mailto:/javascript: — a colon followed by digits is a port
+        # ("example.com:8080/x"), not a scheme.
+        m = _SCHEME_RE.match(s)
+        if m and not s[m.end():][:1].isdigit():
+            return CanonUrl.empty()
+        s = "http://" + s
+    try:
+        parts = urlsplit(s)
+    except ValueError:
+        return CanonUrl.empty()
+    scheme = parts.scheme.lower()
+    host = _idna_host(parts.hostname or "")
+    if not host:
+        return CanonUrl.empty()
+    port = parts.port
+    netloc = host
+    if port is not None and str(port) != _DEFAULT_PORTS.get(scheme, ""):
+        netloc = f"{host}:{port}"
+    path = _normalize_pct(parts.path)
+    if not path:
+        path = "/"
+    # dot-segment resolution for absolute URLs (urljoin already handled
+    # the relative case); resolve against self to collapse ./ and ../
+    if "/./" in path or "/../" in path or path.endswith(("/.", "/..")):
+        path = urlsplit(urljoin(f"{scheme}://{netloc}/", path)).path or "/"
+    query = _normalize_pct(parts.query)
+    url = f"{scheme}://{netloc}{path}"
+    if query:
+        url += "?" + query
+    return CanonUrl(
+        url=url,
+        scheme=scheme,
+        host=host,
+        path=path,
+        query=query,
+        surt=surt_from_parts(host, port if netloc != host else None, path, query),
+    )
+
+
+# ---------------------------------------------------------------------------
+# redirect classification (cocrawler/urls.py — special_redirect†)
+# ---------------------------------------------------------------------------
+
+def special_redirect(from_u: CanonUrl, to_u: CanonUrl) -> Optional[str]:
+    """Classify a redirect pair; None means an ordinary redirect.
+
+    Classes (mirroring the reference's vocabulary):
+      'same surt'      — canonical identity unchanged (fragment/slash noise)
+      'addw'           — host gained a leading www.
+      'removew'        — host lost a leading www.
+      'tohttps'        — scheme http→https, host unchanged
+      'tohttp'         — scheme https→http, host unchanged
+      'tohttps+addw' / 'tohttps+removew' / 'tohttp+addw' / 'tohttp+removew'
+    """
+    if not from_u.url or not to_u.url:
+        return None
+    scheme_part = ""
+    if from_u.scheme == "http" and to_u.scheme == "https":
+        scheme_part = "tohttps"
+    elif from_u.scheme == "https" and to_u.scheme == "http":
+        scheme_part = "tohttp"
+    if from_u.surt == to_u.surt:
+        # SURT drops the scheme, so an http↔https hop has equal surts;
+        # the scheme class is the more specific verdict.
+        return scheme_part or "same surt"
+    addw = to_u.host == "www." + from_u.host
+    removew = from_u.host == "www." + to_u.host
+    same_rest = from_u.path == to_u.path and from_u.query == to_u.query
+    if not same_rest:
+        return None
+    if addw:
+        return f"{scheme_part}+addw" if scheme_part else "addw"
+    if removew:
+        return f"{scheme_part}+removew" if scheme_part else "removew"
+    return None
+
+
+def special_redirect_str(from_url: str, to_url: str) -> Optional[str]:
+    return special_redirect(canonicalize_one(from_url), canonicalize_one(to_url))
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized Spark binding
+# ---------------------------------------------------------------------------
+
+CANON_STRUCT = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("scheme", StringType()),
+        StructField("host", StringType()),
+        StructField("path", StringType()),
+        StructField("query", StringType()),
+        StructField("surt", StringType()),
+    ]
+)
+
+
+def _canon_batch(raw: pd.Series, base: pd.Series) -> pd.DataFrame:
+    out = {k: [] for k in ("url", "scheme", "host", "path", "query", "surt")}
+    for r, b in zip(raw.tolist(), base.tolist()):
+        c = canonicalize_one(r if r is not None else "", b or None)
+        out["url"].append(c.url)
+        out["scheme"].append(c.scheme)
+        out["host"].append(c.host)
+        out["path"].append(c.path)
+        out["query"].append(c.query)
+        out["surt"].append(c.surt)
+    return pd.DataFrame(out)
+
+
+def canonicalize_udf():
+    """pandas UDF (raw_url, base_url) -> struct(url,scheme,host,path,query,surt)."""
+    @F.pandas_udf(CANON_STRUCT)
+    def canon(raw: pd.Series, base: pd.Series) -> pd.DataFrame:
+        return _canon_batch(raw, base)
+
+    return canon
+
+
+def with_canonical(df, raw_col: str, base_col=None, prefix: str = ""):
+    """Attach canonical columns url/scheme/host/path/query/surt to df.
+
+    One Arrow round trip for the whole struct, then JVM-side field
+    extraction — the struct is computed once (Catalyst CSE on the UDF
+    call would not be guaranteed across multiple selects).
+    """
+    base = F.col(base_col) if base_col else F.lit(None).cast("string")
+    tmp = "_canon_struct"
+    df = df.withColumn(tmp, canonicalize_udf()(F.col(raw_col), base))
+    for f in ("url", "scheme", "host", "path", "query", "surt"):
+        df = df.withColumn(prefix + f, F.col(f"{tmp}.{f}"))
+    return df.drop(tmp)

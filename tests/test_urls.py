@@ -1,0 +1,102 @@
+"""Golden tests for URL canonicalization / cleaning / redirect classes.
+
+These mirror the *case families* of the reference's tests/test_urls.py†
+(fragment strip, default port, IDNA, %-encoding, relative resolution,
+www/scheme redirect classification) with hand-written expected values,
+so the semantics are pinned independently of the engine/oracle shared
+code (SURVEY.md §5.2(1)).
+"""
+
+import pytest
+
+from cocrawler_spark.functions.urls import (
+    canonicalize_one,
+    clean_link,
+    special_redirect_str,
+)
+
+
+@pytest.mark.parametrize(
+    "raw,expected_url",
+    [
+        ("http://Example.COM/", "http://example.com/"),
+        ("HTTP://example.com", "http://example.com/"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("http://example.com/a#frag", "http://example.com/a"),
+        ("http://example.com/a?x=1#frag", "http://example.com/a?x=1"),
+        ("example.com/path", "http://example.com/path"),  # seed scheme default
+        ("http://example.com/a/./b/../c", "http://example.com/a/c"),
+        ("http://example.com/%7euser", "http://example.com/~user"),
+        ("http://example.com/%7Euser", "http://example.com/~user"),
+        ("http://example.com/a%2fb", "http://example.com/a%2Fb"),
+        ("  http://example.com/a  ", "http://example.com/a"),
+        ('"http://example.com/a"', "http://example.com/a"),
+        ("http://bücher.example/", "http://xn--bcher-kva.example/"),
+        ("http://example.com./a", "http://example.com/a"),
+    ],
+)
+def test_canonicalize_golden(raw, expected_url):
+    assert canonicalize_one(raw).url == expected_url
+
+
+@pytest.mark.parametrize(
+    "base,rel,expected",
+    [
+        ("http://h.test/p/1", "/p/2", "http://h.test/p/2"),
+        ("http://h.test/a/b/c", "../x", "http://h.test/a/x"),
+        ("http://h.test/a/b/c", "d", "http://h.test/a/b/d"),
+        ("http://h.test/p/1", "//other.test/q", "http://other.test/q"),
+        ("http://h.test/p/1", "https://other.test/q", "https://other.test/q"),
+        ("http://h.test/p/1", "?x=2", "http://h.test/p/1?x=2"),
+    ],
+)
+def test_relative_resolution(base, rel, expected):
+    assert canonicalize_one(rel, base=base).url == expected
+
+
+def test_unusable_inputs():
+    assert canonicalize_one("").url == ""
+    assert canonicalize_one("   ").url == ""
+    assert canonicalize_one("http://").url == ""
+    # non-http schemes are parsed, gated later (reference gates in add_url†)
+    c = canonicalize_one("ftp://example.com/file")
+    assert c.scheme == "ftp"
+    c = canonicalize_one("mailto:x@example.com")
+    assert c.url == ""  # no host
+
+
+def test_clean_link():
+    assert clean_link(' \t"http://a.test/x"\n') == "http://a.test/x"
+    assert clean_link("http://a.test/x\\") == "http://a.test/x"
+    assert clean_link(None) == ""
+
+
+def test_idempotence_samples():
+    for raw in [
+        "http://Example.COM:80/a/../b?q=%7e#f",
+        "h0.test/p/1",
+        "http://bücher.example/ä",
+    ]:
+        once = canonicalize_one(raw).url
+        assert canonicalize_one(once).url == once
+
+
+@pytest.mark.parametrize(
+    "from_url,to_url,expected",
+    [
+        ("http://a.test/p", "http://a.test/p#x", "same surt"),
+        ("http://a.test:80/p", "http://a.test/p", "same surt"),
+        ("http://a.test/p", "http://www.a.test/p", "addw"),
+        ("http://www.a.test/p", "http://a.test/p", "removew"),
+        ("http://a.test/p", "https://a.test/p", "tohttps"),
+        ("https://a.test/p", "http://a.test/p", "tohttp"),
+        ("http://a.test/p", "https://www.a.test/p", "tohttps+addw"),
+        ("http://www.a.test/p", "https://a.test/p", "tohttps+removew"),
+        ("http://a.test/p", "http://b.test/q", None),
+        ("http://a.test/p", "http://a.test/other", None),
+    ],
+)
+def test_special_redirect(from_url, to_url, expected):
+    assert special_redirect_str(from_url, to_url) == expected
