@@ -1,0 +1,154 @@
+"""Text-analysis functions for large-scale training-data pipelines —
+all pure JVM column expressions (whole-stage codegen; no Python in the
+hot path), each with an exact DuckDB-SQL twin used by the driver's
+correctness oracle.
+
+These extend the reference's scope (a crawler has no corpus analytics)
+with the operations a 100 TB crawl→training-data pipeline needs:
+language ID, quality scoring, token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# md5-based 60-bit hash — the Spark/DuckDB-portable workhorse for
+# shingle/minhash/simhash ops (sha1 is unavailable in DuckDB)
+# ---------------------------------------------------------------------------
+
+def md5_hash64_col(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_hash64_sql(expr: str) -> str:
+    """DuckDB twin of md5_hash64_col."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS UBIGINT)::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# tokenization (identical regex semantics in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens_col(text: Column) -> Column:
+    """lowercase word tokens; empty strings removed."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != ""
+    )
+
+
+def tokens_sql(expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+# ---------------------------------------------------------------------------
+# language ID — stopword-overlap heuristic (n-gram-free, exact-SQL-able)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "pour", "dans", "une", "que"],
+    "es": ["el", "los", "las", "es", "por", "para", "una", "con", "del", "se"],
+}
+
+
+def lang_scores_col(text: Column) -> dict[str, Column]:
+    toks = tokens_col(text)
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def langid_col(text: Column) -> Column:
+    """argmax language by distinct-stopword overlap; ties and zero-overlap
+    resolve to 'und' / lexicographically smallest (deterministic)."""
+    scores = lang_scores_col(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("s"), F.lit(lang).alias("l"))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(pairs)
+    # array_max on struct compares (s, l) lexicographically: highest score,
+    # then lexicographically greatest lang — deterministic. zero ⇒ 'und'.
+    return F.when(best["s"] <= 0, F.lit("und")).otherwise(best["l"])
+
+
+def langid_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    structs = ", ".join(
+        "{'s': len(list_intersect(t, ["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"])), 'l': '{lang}'}}"
+        for lang in sorted(STOPWORDS)
+    )
+    return (
+        f"(SELECT CASE WHEN m.s <= 0 THEN 'und' ELSE m.l END FROM "
+        f"(SELECT list_max([{structs}]) AS m FROM (SELECT {toks} AS t)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — length / punctuation / stopword ratios
+# ---------------------------------------------------------------------------
+
+def quality_cols(text: Column) -> dict[str, Column]:
+    n_chars = F.length(text)
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, "[^.,;:!?]", ""))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "alpha_ratio": F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6),
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6),
+        "mean_token_len": F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.greatest(n_tokens, F.lit(1)),
+            6,
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint — min over word-shingle hashes (rolling-hash analog)
+# ---------------------------------------------------------------------------
+
+def fingerprint_col(text: Column, n: int = 3) -> Column:
+    """min_{i} md5h(shingle_i) over word n-gram shingles; short docs fall
+    back to hashing the whole token array."""
+    toks = tokens_col(text)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_min(F.transform(shingles, md5_hash64_col))
+
+
+def fingerprint_sql(expr: str, n: int = 3) -> str:
+    toks = tokens_sql(expr)
+    shingle = "array_to_string(t[i:i+" + str(n - 1) + "], ' ')"
+    inner = md5_hash64_sql(shingle)
+    return (
+        f"(SELECT list_min(list_transform(range(1, greatest(len(t) - {n - 1}, 1) + 1), "
+        f"i -> {inner})) FROM (SELECT {toks} AS t))"
+    )

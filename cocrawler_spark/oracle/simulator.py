@@ -162,12 +162,17 @@ class Simulator:
                     via=cand["via"],
                 )
             )
-        # within-wave dedup on surt: keep min (priority, depth, via, url)
+        # within-wave dedup on surt: keep min (priority, depth, via, url,
+        # is_seed) — the full key makes the winner unique even when two
+        # redirect parents with different seed flags discover one target
+        # (the engine's row_number uses the identical ordering)
         best: dict[str, Item] = {}
         for it in canon_items:
             cur = best.get(it.surt)
-            key = (it.priority, it.depth, it.via, it.url)
-            if cur is None or key < (cur.priority, cur.depth, cur.via, cur.url):
+            key = (it.priority, it.depth, it.via, it.url, it.is_seed)
+            if cur is None or key < (
+                cur.priority, cur.depth, cur.via, cur.url, cur.is_seed
+            ):
                 best[it.surt] = it
         wave_dups = len(canon_items) - len(best)
         # seen anti-membership + enqueue-time insert

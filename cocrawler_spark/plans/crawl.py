@@ -1,0 +1,510 @@
+"""The crawl engine: wave-synchronous DataFrame rendering of the
+reference's continuous asyncio loop (SURVEY.md §3).
+
+Each wave is one batch of DataFrame jobs:
+
+    frontier ──rand──▶ robots refresh/deny ──▶ per-host budget +
+    politeness window ──▶ global (priority, rand, surt) order + page
+    cap ──▶ fetch (left join documents on url==doc_id) ──▶ split by
+    status: 599 retry / 301 redirect classify+requeue / 200 parse
+    outlinks (Arrow UDF = the burner† analog) ──▶ add_url pipeline
+    (canonicalize → gates → within-wave dedup → seen anti-join) ──▶
+    next frontier + state-table deltas ──▶ atomic snapshot commit.
+
+Where the reference crosses thread/process/network boundaries, this
+plan crosses shuffle/Arrow boundaries (SURVEY.md §3.3):
+  - one shuffle for the per-host politeness window (keyed by host),
+  - one range exchange for the global crawl order,
+  - one shuffle join for the fetch (url is unique post-dedup ⇒ no join
+    skew; AQE handles residual imbalance),
+  - one shuffle for the within-wave surt dedup + seen anti-join
+    (both keyed by surt, so they share co-partitioning).
+
+Every output the oracle simulator produces (crawl order, seen set,
+fetched content, redirects, metrics, outlinks) is written as a delta
+table and committed per wave via the snapshot catalog, which is also
+the checkpoint/resume mechanism.
+
+Determinism contract: all ordering uses (priority, rand, surt) with
+rand = keyed_hash64(rng_seed, wave, surt); all tie-breaking in dedup
+uses the full (priority, depth, via, url, is_seed) key — identical in
+cocrawler_spark.oracle.simulator.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..config import CrawlConfig
+from ..functions.hashing import is_flaky_col, keyed_hash64_col, rand_key
+from ..functions.parse import (
+    content_sha1_col,
+    extract_outlinks_udf,
+    redirect_target_col,
+)
+from ..functions.robots import robots_allowed_udf
+from ..functions.urls import ALLOWED_SCHEMES, with_canonical
+from ..operators.ordering import with_global_seq
+from ..operators.redirects import special_redirect_col
+from ..sources.catalog import SnapshotCatalog
+
+FRONTIER_COLS = [
+    "url", "surt", "host", "path", "priority", "depth", "tries", "is_seed", "via",
+]
+
+def _empty_arr():
+    return F.array().cast("array<string>")
+
+
+class CrawlEngine:
+    """Drives the wave loop over a documents/robots_src/seeds corpus."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: CrawlConfig,
+        documents: DataFrame,
+        robots_src: DataFrame,
+        seeds: DataFrame,
+        state_dir: str,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.documents = documents
+        self.robots_src = robots_src
+        self.seeds = seeds
+        self.catalog = SnapshotCatalog(spark, state_dir)
+        self.frontier: Optional[DataFrame] = None
+        self.seen: Optional[DataFrame] = None
+        self.robots: Optional[DataFrame] = None
+        self.host_counts: Optional[DataFrame] = None
+        self.total_fetched = 0
+        self._persisted: list[DataFrame] = []
+        self._metrics_buf: list[tuple] = []
+
+    # ------------------------------------------------------------------ utils
+
+    def _persist(self, df: DataFrame) -> DataFrame:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._persisted.append(df)
+        return df
+
+    def _unpersist_all(self):
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
+
+    def _metric(self, wave: int, name: str, value: float, kind: str = "sum"):
+        self._metrics_buf.append((wave, name, kind, float(value)))
+
+    def _flush_metrics(self, wave: int):
+        rows = [
+            (int(w), n, k, float(v)) for (w, n, k, v) in self._metrics_buf
+        ]
+        df = self.spark.createDataFrame(rows, "wave int, name string, kind string, value double")
+        self.catalog.stage("metrics", df, wave, mode="delta")
+        self._metrics_buf = []
+
+    # --------------------------------------------------------- add_url pipeline
+
+    def _add_candidates(self, wave: int, candidates: DataFrame) -> DataFrame:
+        """Set-at-a-time Crawler.add_url† (SURVEY.md §3.2). `candidates`
+        has (raw, base, priority, depth, is_seed, via). Returns new
+        frontier rows; updates `self.seen` (delta append)."""
+        cfg = self.cfg
+        c = with_canonical(candidates, "raw", base_col="base")
+        c = c.withColumn(
+            "drop_reason",
+            F.when(F.col("url") == "", "bad_url")
+            .when(~F.col("scheme").isin(*ALLOWED_SCHEMES), "scheme_dropped")
+            .when(F.col("depth") > F.lit(cfg.max_depth), "depth_dropped"),
+        )
+        c = self._persist(c)
+        reasons = {
+            r["drop_reason"]: r["cnt"]
+            for r in c.groupBy("drop_reason").agg(F.count("*").alias("cnt")).collect()
+        }
+        for name in ("bad_url", "scheme_dropped", "depth_dropped"):
+            self._metric(wave, name, reasons.get(name, 0))
+        kept_count = reasons.get(None, 0)
+
+        kept = c.filter(F.col("drop_reason").isNull()).withColumn(
+            "path",
+            F.concat(
+                F.col("path"),
+                F.when(F.col("query") != "", F.concat(F.lit("?"), F.col("query"))).otherwise(F.lit("")),
+            ),
+        )
+        # within-wave dedup: min (priority, depth, via, url, is_seed) per surt
+        w = Window.partitionBy("surt").orderBy("priority", "depth", "via", "url", "is_seed")
+        deduped = (
+            kept.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # seen anti-membership; the anti-join and the dedup window share
+        # the surt shuffle key (co-partitioned stages under AQE)
+        new_rows = deduped.join(self.seen.select("surt"), "surt", "left_anti")
+        new_rows = self._persist(
+            new_rows.select(
+                "url", "surt", "host", "path", "priority", "depth",
+                F.lit(0).alias("tries"), "is_seed", "via",
+            )
+        )
+        new_count = new_rows.count()
+        dd = deduped.count()
+        self._metric(wave, "wave_dup_dropped", kept_count - dd)
+        self._metric(wave, "seen_dup_dropped", dd - new_count)
+
+        self.catalog.stage(
+            "seen", new_rows.select("surt"), wave, mode="delta", lineage=True
+        )
+        self.seen = self.spark.read.parquet(*self._seen_paths())
+        return new_rows
+
+    def _seen_paths(self) -> list[str]:
+        import os
+
+        base = os.path.join(self.catalog.root, "tables", "seen")
+        if not os.path.isdir(base):
+            return []
+        return [
+            os.path.join(base, d)
+            for d in sorted(os.listdir(base))
+            if d.startswith("w")
+        ]
+
+    # ------------------------------------------------------------- wave 0 seeds
+
+    def seed_frontier(self) -> DataFrame:
+        cfg = self.cfg
+        # empty seen to anti-join against
+        self.seen = self.spark.createDataFrame([], "surt string")
+        cands = self.seeds.select(
+            F.col("url").alias("raw"),
+            F.lit(None).cast("string").alias("base"),
+            F.lit(cfg.seed_priority).alias("priority"),
+            F.lit(0).alias("depth"),
+            F.lit(True).alias("is_seed"),
+            F.lit("seed").alias("via"),
+        )
+        new_rows = self._add_candidates(0, cands)
+        self._flush_metrics(0)
+        frontier = self.catalog.stage("frontier", new_rows, 0, mode="full")
+        self.host_counts = self.spark.createDataFrame([], "host string, pages long")
+        self.robots = self.spark.createDataFrame(
+            [], "host string, fetched_wave int, crawl_delay double, ttl_waves int, "
+            "allow array<string>, disallow array<string>",
+        )
+        self.catalog.stage("host_counts", self.host_counts, 0, mode="full")
+        self.catalog.stage("robots", self.robots, 0, mode="full")
+        self.catalog.commit(0, {"total_fetched": 0, "done": False})
+        self._unpersist_all()
+        self.frontier = frontier
+        return frontier
+
+    # ---------------------------------------------------------------- one wave
+
+    def run_wave(self, wave: int) -> DataFrame:
+        cfg = self.cfg
+        rk = rand_key(cfg.rng_seed, wave)
+        f = self.frontier.withColumn("rand", keyed_hash64_col(rk, F.col("surt")))
+
+        # --- robots refresh: once per distinct host (structural dedup of the
+        # reference's per-host in-flight robots fetch†)
+        hosts = f.select("host").distinct()
+        fresh = self.robots.filter(
+            (F.lit(wave) - F.col("fetched_wave")) < F.col("ttl_waves")
+        )
+        need = hosts.join(fresh.select("host"), "host", "left_anti")
+        newly = (
+            need.join(self.robots_src, "host", "left")
+            .select(
+                "host",
+                F.lit(wave).alias("fetched_wave"),
+                F.coalesce("crawl_delay", F.lit(cfg.default_crawl_delay)).alias("crawl_delay"),
+                F.coalesce("ttl_waves", F.lit(cfg.robots_ttl_waves)).cast("int").alias("ttl_waves"),
+                F.coalesce("allow", _empty_arr()).alias("allow"),
+                F.coalesce("disallow", _empty_arr()).alias("disallow"),
+            )
+        )
+        robots_new = fresh.select(*newly.columns).unionByName(newly)
+        self.robots = self.catalog.stage("robots", robots_new, wave, mode="full")
+        self._metric(wave, "robots_fetched", newly.count())
+
+        # --- robots allow/deny (broadcast-sized in practice; AQE decides)
+        fj = f.join(
+            self.robots.select("host", "crawl_delay", "allow", "disallow"),
+            "host",
+            "left",
+        ).withColumn(
+            "allowed",
+            robots_allowed_udf()(F.col("path"), F.col("allow"), F.col("disallow")),
+        )
+        fj = self._persist(fj)
+        denied = fj.filter(~F.col("allowed")).count()
+        self._metric(wave, "robots_denied", denied)
+        allowed = fj.filter(F.col("allowed"))
+
+        # --- per-host budget + politeness slotting (SURVEY.md §2g):
+        # row_number per host over the priority key; rank beyond the host
+        # budget drops, slot time beyond the wave budget defers.
+        af = allowed.join(self.host_counts, "host", "left").withColumn(
+            "pages0", F.coalesce(F.col("pages"), F.lit(0))
+        )
+        wh = Window.partitionBy("host").orderBy("priority", "rand", "surt")
+        af = af.withColumn("_rn", F.row_number().over(wh)).withColumn(
+            "_class",
+            F.when(
+                F.col("_rn") > (F.lit(cfg.max_pages_per_host) - F.col("pages0")),
+                "budget",
+            )
+            .when(
+                (F.col("_rn") - 1) * F.col("crawl_delay")
+                >= F.lit(cfg.wave_budget_seconds),
+                "defer",
+            )
+            .otherwise("fetch"),
+        )
+        af = self._persist(af)
+        self._metric(
+            wave, "host_budget_dropped", af.filter(F.col("_class") == "budget").count()
+        )
+        deferred_pol = af.filter(F.col("_class") == "defer").select(*FRONTIER_COLS)
+        fetchable0 = af.filter(F.col("_class") == "fetch")
+
+        # --- global crawl order + global page cap
+        fseq = with_global_seq(
+            fetchable0.select(*FRONTIER_COLS, "rand"),
+            ["priority", "rand", "surt"],
+            persisted=self._persisted,
+        )
+        remaining_global = cfg.max_pages - self.total_fetched
+        fetchable = self._persist(fseq.filter(F.col("seq") <= remaining_global))
+        overflow = fseq.filter(F.col("seq") > remaining_global).select(*FRONTIER_COLS)
+        deferred = deferred_pol.unionByName(overflow)
+
+        crawl_order_df = fetchable.select(
+            F.lit(wave).alias("wave"), F.col("seq"), F.col("surt"), F.col("url")
+        )
+        self.catalog.stage("crawl_order", crawl_order_df, wave, mode="delta")
+
+        # --- fetch = left equi-join on url==doc_id (SURVEY.md §1 row 8);
+        # url is unique after dedup so the join has no key skew.
+        docs = self.documents
+        fx = fetchable.join(docs, fetchable["url"] == docs["doc_id"], "left")
+        fx = fx.withColumn("_redirect_tgt", redirect_target_col(F.col("spans"))).withColumn(
+            "status",
+            F.when(
+                is_flaky_col(F.col("url"), cfg.flaky_mod) & (F.col("tries") == 0),
+                F.lit(599),
+            )
+            .when(F.col("doc_id").isNull(), F.lit(404))
+            .when(F.col("_redirect_tgt").isNotNull(), F.lit(301))
+            .otherwise(F.lit(200)),
+        )
+        fx = self._persist(fx)
+
+        fetched_content = fx.select(
+            F.lit(wave).alias("wave"),
+            "url",
+            "surt",
+            "status",
+            F.when(
+                F.col("doc_id").isNotNull() & (F.col("status") != 599),
+                content_sha1_col(F.col("spans")),
+            )
+            .otherwise(F.lit(""))
+            .alias("sha1"),
+            F.when(
+                F.col("doc_id").isNotNull() & (F.col("status") != 599),
+                F.size(F.col("spans")),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("n_spans"),
+        )
+        self.catalog.stage("fetched_content", fetched_content, wave, mode="delta")
+
+        status_counts = {
+            r["status"]: r["cnt"]
+            for r in fx.groupBy("status").agg(F.count("*").alias("cnt")).collect()
+        }
+        pages = sum(status_counts.values())
+        agg = fx.agg(
+            F.coalesce(F.max("depth"), F.lit(0)).alias("maxd")
+        ).collect()[0]
+        for st in sorted(status_counts):
+            self._metric(wave, f"fetch_status_{st}", status_counts[st])
+        self._metric(wave, "pages_fetched", pages)
+        self.total_fetched += pages
+
+        # host fetch accounting (per-host budget state)
+        hc_delta = fx.groupBy("host").agg(F.count("*").alias("pages"))
+        hc = (
+            self.host_counts.unionByName(hc_delta)
+            .groupBy("host")
+            .agg(F.sum("pages").alias("pages"))
+        )
+        self.host_counts = self.catalog.stage("host_counts", hc, wave, mode="full")
+
+        # --- retries (tries gate; fetch_and_process retry path†)
+        r = fx.filter(F.col("status") == 599)
+        requeue = r.filter(F.col("tries") + 1 < cfg.max_tries).select(
+            "url", "surt", "host", "path", "priority", "depth",
+            (F.col("tries") + 1).alias("tries"), "is_seed",
+            F.lit("retry").alias("via"),
+        )
+        requeue = self._persist(requeue)
+        n_requeue = requeue.count()
+        n_599 = status_counts.get(599, 0)
+        self._metric(wave, "lost", n_599 - n_requeue)
+        self._metric(wave, "retries_queued", n_requeue)
+
+        # --- redirects: classify + re-enqueue target (handle_redirect†)
+        rd = fx.filter(F.col("status") == 301).select(
+            "url", "surt", "host", "priority", "depth", "is_seed", "_redirect_tgt"
+        )
+        rd = with_canonical(rd, "_redirect_tgt", base_col="url", prefix="to_")
+        rd = with_canonical(rd, "url", prefix="from_")
+        rd = self._persist(
+            rd.withColumn(
+                "kind",
+                F.coalesce(
+                    special_redirect_col(
+                        F.col("from_scheme"), F.col("from_host"), F.col("from_surt"),
+                        F.col("from_path"), F.col("from_query"),
+                        F.col("to_scheme"), F.col("to_host"), F.col("to_surt"),
+                        F.col("to_path"), F.col("to_query"),
+                    ),
+                    F.lit("redirect"),
+                ),
+            )
+        )
+        # from_url/from_surt are the canonical columns added by
+        # with_canonical(prefix='from_') — equal to url/surt, which are
+        # already canonical (produced by add_url)
+        redirects_out = rd.select(
+            F.lit(wave).alias("wave"),
+            "from_url", "from_surt", "to_url", "to_surt", "kind",
+        )
+        self.catalog.stage("redirects", redirects_out, wave, mode="delta")
+        redirect_cands = rd.select(
+            F.col("_redirect_tgt").alias("raw"),
+            F.col("url").alias("base"),
+            "priority",
+            "depth",
+            "is_seed",
+            F.lit("redirect").alias("via"),
+        )
+
+        # --- parse 200s: Arrow-vectorized outlink extraction (burner† analog)
+        p200 = fx.filter(F.col("status") == 200).select(
+            "url", "priority", "depth", "spans"
+        )
+        ol = self._persist(
+            p200.withColumn("outlinks", extract_outlinks_udf()(F.col("spans"))).select(
+                "url", "priority", "depth", "outlinks"
+            )
+        )
+        outlinks_flat = ol.select(
+            F.col("url").alias("doc_id"),
+            F.posexplode("outlinks").alias("ord", "l"),
+        ).select(
+            "doc_id", "ord", F.col("l.target").alias("target"),
+            F.col("l.kind").alias("kind"), F.col("l.span_offset").alias("span_offset"),
+        )
+        self.catalog.stage("outlinks", outlinks_flat, wave, mode="delta")
+
+        link_cands = ol.select(
+            "url", "priority", "depth", F.explode("outlinks").alias("l")
+        ).select(
+            F.col("l.target").alias("raw"),
+            F.col("url").alias("base"),
+            (
+                F.col("priority")
+                + F.when(
+                    F.col("l.kind") == "link", F.lit(cfg.link_priority_delta)
+                ).otherwise(F.lit(cfg.embed_priority_delta))
+            ).alias("priority"),
+            (F.col("depth") + 1).alias("depth"),
+            F.lit(False).alias("is_seed"),
+            F.col("l.kind").alias("via"),
+        )
+        link_cands = self._persist(link_cands)
+        kinds = {
+            r["via"]: r["cnt"]
+            for r in link_cands.groupBy("via").agg(F.count("*").alias("cnt")).collect()
+        }
+        self._metric(wave, "links_found", kinds.get("link", 0))
+        self._metric(wave, "embeds_found", kinds.get("embed", 0))
+        n_deferred = deferred.count()
+        self._metric(wave, "deferred", n_deferred)
+        self._metric(wave, "max_depth_fetched", agg["maxd"], kind="max")
+
+        candidates = redirect_cands.unionByName(link_cands)
+        new_rows = self._add_candidates(wave, candidates)
+
+        nxt = deferred.unionByName(requeue).unionByName(new_rows.select(*FRONTIER_COLS))
+        frontier_next = self.catalog.stage(
+            "frontier", nxt, wave, mode="full", lineage=True
+        )
+        n_next = frontier_next.count()
+        self._metric(wave, "frontier_size_next", n_next)
+        self._metric(wave, "seen_size", self.seen.count(), kind="max")
+        self._flush_metrics(wave)
+        self.catalog.commit(
+            wave, {"total_fetched": self.total_fetched, "done": n_next == 0}
+        )
+        self._unpersist_all()
+        self.frontier = frontier_next
+        return frontier_next
+
+    # ---------------------------------------------------------------- full run
+
+    def run(self, max_waves: Optional[int] = None) -> int:
+        """Run to completion; returns number of fetch waves executed."""
+        cap = max_waves if max_waves is not None else self.cfg.max_waves
+        self.seed_frontier()
+        wave = 1
+        while (
+            wave <= cap
+            and self.total_fetched < self.cfg.max_pages
+            and self.frontier.limit(1).count() > 0
+        ):
+            self.run_wave(wave)
+            wave += 1
+        return wave - 1
+
+    def resume(self, max_waves: Optional[int] = None) -> int:
+        """Continue from the latest committed snapshot (north_rule:
+        resumable from checkpoint). Idempotent per wave: a wave is
+        deterministic given its inputs, so replaying a partially-written
+        (uncommitted) wave just overwrites its staged files."""
+        m = self.catalog.latest_manifest()
+        if m is None:
+            return self.run(max_waves)
+        self.frontier = self.catalog.load("frontier", m)
+        self.seen = self.catalog.load("seen", m)
+        self.robots = self.catalog.load("robots", m)
+        self.host_counts = self.catalog.load("host_counts", m)
+        self.total_fetched = int(m.get("total_fetched", 0))
+        cap = max_waves if max_waves is not None else self.cfg.max_waves
+        wave = int(m["wave"]) + 1
+        while (
+            wave <= cap
+            and self.total_fetched < self.cfg.max_pages
+            and self.frontier.limit(1).count() > 0
+        ):
+            self.run_wave(wave)
+            wave += 1
+        return wave - 1
+
+    # ---------------------------------------------------------------- outputs
+
+    def output(self, name: str) -> Optional[DataFrame]:
+        return self.catalog.load(name)

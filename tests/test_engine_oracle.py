@@ -1,0 +1,120 @@
+"""End-to-end equality: Spark engine vs oracle simulator (SURVEY.md §5.2(2)).
+
+The engine must reproduce, exactly:
+  (a) the seen set, (b) the crawl order (wave, seq, surt), (c) per-doc
+  outlink sequences + sha1 digests, (d) metric sums — under identical
+  seed list + politeness budget. This is the north_rule's correctness
+  gate rendered testable in-sandbox.
+"""
+
+import pytest
+
+from cocrawler_spark.config import CrawlConfig
+from cocrawler_spark.oracle.simulator import simulate
+from cocrawler_spark.plans.crawl import CrawlEngine
+from cocrawler_spark.sources.corpus import (
+    read_documents,
+    read_robots_src,
+    read_seed_parquet,
+)
+from cocrawler_spark.synth import generate, write_parquet
+
+
+def build_engine(spark, web, cfg, tmpdir):
+    paths = write_parquet(web, str(tmpdir / "web"))
+    return CrawlEngine(
+        spark,
+        cfg,
+        documents=read_documents(spark, paths["documents"]),
+        robots_src=read_robots_src(spark, paths["robots_src"]),
+        seeds=read_seed_parquet(spark, paths["seeds"]),
+        state_dir=str(tmpdir / "state"),
+    )
+
+
+def assert_engine_matches_oracle(engine, res):
+    # (b) crawl order
+    got_order = sorted(
+        (r["wave"], r["seq"], r["surt"], r["url"])
+        for r in engine.output("crawl_order").collect()
+    )
+    exp_order = sorted(res.crawl_order)
+    assert got_order == exp_order
+    # (a) seen set
+    got_seen = {r["surt"] for r in engine.seen.collect()}
+    assert got_seen == res.seen
+    # (c) fetched content: status + sha1 + n_spans
+    got_fetched = sorted(
+        (r["wave"], r["url"], r["surt"], r["status"], r["sha1"], r["n_spans"])
+        for r in engine.output("fetched_content").collect()
+    )
+    assert got_fetched == sorted(res.fetched)
+    # (c) outlink sequences
+    got_ol = {}
+    for r in engine.output("outlinks").collect():
+        got_ol.setdefault(r["doc_id"], []).append(
+            (r["ord"], r["target"], r["kind"], r["span_offset"])
+        )
+    got_ol = {k: [t[1:] for t in sorted(v)] for k, v in got_ol.items()}
+    assert got_ol == res.outlinks
+    # redirects
+    got_rd = sorted(
+        (r["wave"], r["from_url"], r["from_surt"], r["to_url"], r["to_surt"], r["kind"])
+        for r in engine.output("redirects").collect()
+    )
+    assert got_rd == sorted(res.redirects)
+    # (d) metrics
+    got_m = {
+        (r["wave"], r["name"], r["kind"]): r["value"]
+        for r in engine.output("metrics").collect()
+    }
+    exp_m = {(w, n, k): v for (w, n, k, v) in res.metrics}
+    assert got_m == exp_m
+
+
+CFG = CrawlConfig(
+    max_depth=2, max_tries=3, wave_budget_seconds=6.0, max_waves=5,
+    default_crawl_delay=1.0,
+)
+
+
+def test_tiny_web_equality(spark, tiny_web, tmp_path):
+    engine = build_engine(spark, tiny_web, CFG, tmp_path)
+    engine.run()
+    res = simulate(tiny_web, CFG)
+    assert_engine_matches_oracle(engine, res)
+
+
+def test_tiny_web_equality_alt_seed(spark, tiny_web, tmp_path):
+    cfg = CFG.with_(rng_seed=7, max_depth=3, wave_budget_seconds=3.0)
+    engine = build_engine(spark, tiny_web, cfg, tmp_path)
+    engine.run()
+    assert_engine_matches_oracle(engine, simulate(tiny_web, cfg))
+
+
+def test_tiny_max_pages_cap(spark, tiny_web, tmp_path):
+    cfg = CFG.with_(max_pages=13)
+    engine = build_engine(spark, tiny_web, cfg, tmp_path)
+    engine.run()
+    res = simulate(tiny_web, cfg)
+    assert len(res.crawl_order) <= 13
+    assert_engine_matches_oracle(engine, res)
+
+
+@pytest.mark.slow
+def test_small_web_equality(spark, small_web, tmp_path):
+    cfg = CFG.with_(wave_budget_seconds=20.0, max_waves=4, max_pages=600)
+    engine = build_engine(spark, small_web, cfg, tmp_path)
+    engine.run()
+    assert_engine_matches_oracle(engine, simulate(small_web, cfg))
+
+
+def test_resume_equals_uninterrupted(spark, tiny_web, tmp_path):
+    # run 2 waves, new engine object resumes, must equal a straight run
+    e1 = build_engine(spark, tiny_web, CFG, tmp_path)
+    e1.seed_frontier()
+    e1.run_wave(1)
+    e1.run_wave(2)
+    e2 = build_engine(spark, tiny_web, CFG, tmp_path)  # same state dir
+    e2.resume()
+    assert_engine_matches_oracle(e2, simulate(tiny_web, CFG))

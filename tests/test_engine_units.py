@@ -1,0 +1,116 @@
+"""Parity tests: JVM-side column expressions vs pure-Python cores."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cocrawler_spark.functions.parse import (
+    content_sha1_col,
+    content_sha1_py,
+    extract_outlinks_py,
+    extract_outlinks_udf,
+    redirect_target_col,
+    redirect_target_py,
+)
+from cocrawler_spark.functions.urls import (
+    canonicalize_one,
+    special_redirect_str,
+    with_canonical,
+)
+from cocrawler_spark.operators.redirects import special_redirect_col
+from cocrawler_spark.synth import generate
+
+
+def _spans_rows(web, n=40):
+    urls = sorted(web.docs)[:n]
+    return [(u, web.docs[u]) for u in urls]
+
+
+def test_canonicalize_udf_parity(spark, tiny_web):
+    raws = list(tiny_web.seeds) + [
+        "http://H0.test:80/p/1#x", "/rel/path", "../up", "mailto:a@b",
+        "https://h1.test/p/2?q=%7e", "", None,
+    ]
+    bases = [None] * len(tiny_web.seeds) + [
+        None, "http://h2.test/a/b", "http://h2.test/a/b/c", None, None, None, None,
+    ]
+    df = spark.createDataFrame(
+        list(zip(raws, bases)), "raw string, base string"
+    )
+    out = {
+        (r["raw"], r["base"]): (r["url"], r["surt"], r["host"])
+        for r in with_canonical(df, "raw", base_col="base").collect()
+    }
+    for raw, base in zip(raws, bases):
+        c = canonicalize_one(raw if raw is not None else "", base)
+        assert out[(raw, base)] == (c.url, c.surt, c.host), (raw, base)
+
+
+def test_outlinks_and_sha1_parity(spark, tiny_web):
+    rows = _spans_rows(tiny_web)
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {
+        r["doc_id"]: (r["out"], r["sha"], r["rt"])
+        for r in df.select(
+            "doc_id",
+            extract_outlinks_udf()(F.col("spans")).alias("out"),
+            content_sha1_col(F.col("spans")).alias("sha"),
+            redirect_target_col(F.col("spans")).alias("rt"),
+        ).collect()
+    }
+    for doc_id, spans in rows:
+        exp = extract_outlinks_py(spans)
+        out, sha, rt = got[doc_id]
+        assert [(o["target"], o["kind"], o["span_offset"]) for o in out] == [
+            (e["target"], e["kind"], e["span_offset"]) for e in exp
+        ], doc_id
+        assert sha == content_sha1_py(spans), doc_id
+        assert rt == redirect_target_py(spans), doc_id
+
+
+def test_special_redirect_col_parity(spark):
+    pairs = [
+        ("http://a.test/p", "http://a.test/p#x"),
+        ("http://a.test:80/p", "http://a.test/p"),
+        ("http://a.test/p", "http://www.a.test/p"),
+        ("http://www.a.test/p", "http://a.test/p"),
+        ("http://a.test/p", "https://a.test/p"),
+        ("https://a.test/p", "http://a.test/p"),
+        ("http://a.test/p", "https://www.a.test/p"),
+        ("http://www.a.test/p", "https://a.test/p"),
+        ("http://a.test/p", "http://b.test/q"),
+        ("http://a.test/p?x=1", "http://a.test/p?x=2"),
+        ("http://a.test/p", "http://a.test/other"),
+    ]
+    df = spark.createDataFrame(pairs, "f string, t string")
+    df = with_canonical(df, "f", prefix="from_")
+    df = with_canonical(df, "t", prefix="to_")
+    df = df.withColumn(
+        "kind",
+        special_redirect_col(
+            F.col("from_scheme"), F.col("from_host"), F.col("from_surt"),
+            F.col("from_path"), F.col("from_query"),
+            F.col("to_scheme"), F.col("to_host"), F.col("to_surt"),
+            F.col("to_path"), F.col("to_query"),
+        ),
+    )
+    got = {(r["f"], r["t"]): r["kind"] for r in df.collect()}
+    for f, t in pairs:
+        assert got[(f, t)] == special_redirect_str(f, t), (f, t)
+
+
+def test_global_seq(spark):
+    from cocrawler_spark.operators.ordering import with_global_seq
+
+    rows = [(i % 7, f"k{i:04d}") for i in range(500)]
+    df = spark.createDataFrame(rows, "p int, k string").repartition(13)
+    keep = []
+    out = with_global_seq(df, ["p", "k"], persisted=keep)
+    got = [(r["p"], r["k"]) for r in out.orderBy("seq").collect()]
+    seqs = [r["seq"] for r in out.orderBy("seq").collect()]
+    assert got == sorted(rows)
+    assert seqs == list(range(1, 501))
+    for d in keep:
+        d.unpersist()
