@@ -1,38 +1,756 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` demonstrates one operator family from
+SURVEY.md §2 (crawl semantics: gates, dedup, politeness windows,
+priority ordering, redirect classification, stats aggregation) or one
+training-data-pipeline operator (exact/minhash/simhash/jaccard dedup,
+similarity search, language ID, quality scoring, fingerprinting) over
+the driver-provided tables, with an exact DuckDB twin in
+``oracle_sql()``. All hashing inside SQL-checked queries is md5-based
+(``cocrawler_spark.functions.text.md5_hash64_col``) because DuckDB has
+no sha1; the crawl engine itself uses sha1-keyed hashes (checked by
+the in-repo oracle simulator instead — tests/test_engine_oracle.py).
+
+Scale notes are in each query's docstring-comment: the sf0.01 check is
+a correctness gate; the partitioning/shuffle story for 100 TB is in
+the implementing operator modules.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cocrawler_spark.functions.text import (
+    STOPWORDS,
+    langid_col,
+    md5_hash64_col,
+    md5_hash64_sql,
+    quality_cols,
+    token_count_col,
+    tokens_col,
+    tokens_sql,
+)
+from cocrawler_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from cocrawler_spark.operators.redirects import special_redirect_col
+from cocrawler_spark.operators.similarity import cosine_topk_bruteforce, lsh_ann_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship: frontier scheduling over the documents table — the crawl
+# engine's politeness + priority-order pipeline expressed on driver data
+# ---------------------------------------------------------------------------
+
+def _frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents as a frontier: host/priority derived deterministically,
+    rand = md5-keyed tiebreaker, per-host politeness slot via window,
+    global (priority, rand, url) order → top 200 fetchable.
+
+    (The engine-internal version of the global order is the scalable
+    range-partitioned rank in operators/ordering.py; a plain window is
+    fine at oracle scale.)"""
+    d = _t(spark, sf_dir, "documents")
+    f = d.select(
+        F.col("doc_id"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".test")).alias("host"),
+        (F.col("doc_id") % 3).cast("int").alias("priority"),
+    ).withColumn(
+        "url",
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/p/"), F.col("doc_id").cast("string")),
+    ).withColumn("rand", md5_hash64_col(F.concat(F.lit("rand:42:1:"), F.col("url"))))
+    wh = Window.partitionBy("host").orderBy("priority", "rand", "url")
+    f = f.withColumn("rn", F.row_number().over(wh)).withColumn(
+        "slot", (F.col("rn") - 1) * F.lit(1.0)
+    ).filter(F.col("slot") < 8.0)
+    wg = Window.orderBy("priority", "rand", "url")
+    return (
+        f.withColumn("seq", F.row_number().over(wg))
+        .filter(F.col("seq") <= 200)
+        .select("seq", "doc_id", "url", "host", "priority", "rand", "rn", "slot")
+    )
+
+
+_FRONTIER_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 40 AS VARCHAR) || '.test' AS host,
+         CAST(doc_id % 3 AS INT) AS priority,
+         'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.test/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), r AS (
+  SELECT *, {rand} AS rand FROM f
+), pol AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY priority, rand, url) AS rn
+  FROM r
+), sl AS (
+  SELECT *, CAST((rn - 1) AS DOUBLE) * 1.0 AS slot FROM pol WHERE (rn - 1) * 1.0 < 8.0
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY priority, rand, url) AS BIGINT) AS seq,
+       doc_id, url, host, priority, rand, rn, slot
+FROM sl QUALIFY seq <= 200
+""".format(rand=md5_hash64_sql("'rand:42:1:' || url"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _frontier_schedule(spark, "/root/testdata/sf0.001")
 
+
+# ---------------------------------------------------------------------------
+# the query/oracle registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q["frontier_schedule"] = _frontier_schedule
+
+    # --- canonicalization & scalar functions (SURVEY §2c) -----------------
+    def url_canonicalize_native(spark, sf):
+        d = _t(spark, sf, "documents")
+        messy = F.concat(
+            F.lit("HTTP://H"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(".TEST:80/p/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+        clean = F.regexp_replace(
+            F.regexp_replace(F.lower(messy), "#.*$", ""), ":80/", "/"
+        )
+        return d.select("doc_id", clean.alias("url_clean"))
+
+    q["url_canonicalize_native"] = url_canonicalize_native
+
+    def surt_key(spark, sf):
+        d = _t(spark, sf, "documents")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".test"))
+        surt = F.concat(
+            F.concat_ws(",", F.reverse(F.split(host, "\\."))),
+            F.lit(")/p/"), F.col("doc_id").cast("string"),
+        )
+        return d.select("doc_id", surt.alias("surt"))
+
+    q["surt_key"] = surt_key
+
+    def content_type_parse(spark, sf):
+        e = _t(spark, sf, "events")
+        ct = F.concat(F.col("event_type"), F.lit("/html; charset=UTF-8"))
+        return e.select(
+            "event_id",
+            F.split(ct, ";").getItem(0).alias("mime"),
+            F.lower(F.regexp_extract(ct, "charset=([A-Za-z0-9-]+)", 1)).alias("charset"),
+        )
+
+    q["content_type_parse"] = content_type_parse
+
+    def json_log(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.select(
+            "event_id",
+            F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("log_line"),
+        )
+
+    q["json_log"] = json_log
+
+    # --- filters / gates (SURVEY §2b) --------------------------------------
+    def scheme_filter(spark, sf):
+        d = _t(spark, sf, "documents")
+        scheme = F.element_at(
+            F.array(F.lit("http"), F.lit("https"), F.lit("ftp")),
+            ((F.col("doc_id") % 3) + 1).cast("int"),
+        )
+        return d.select("doc_id", scheme.alias("scheme")).filter(
+            F.col("scheme").isin("http", "https")
+        )
+
+    q["scheme_filter"] = scheme_filter
+
+    def depth_gate(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.select("l_orderkey", "l_linenumber").filter(F.col("l_linenumber") <= 4)
+
+    q["depth_gate"] = depth_gate
+
+    def tries_gate(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.select(
+            "event_id", (F.col("event_id") % 5).cast("int").alias("tries")
+        ).filter(F.col("tries") < 3)
+
+    q["tries_gate"] = tries_gate
+
+    # --- dedup & set ops (SURVEY §2d) ---------------------------------------
+    def seen_anti_join(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+            "c_custkey", "c_name"
+        )
+
+    q["seen_anti_join"] = seen_anti_join
+
+    def within_wave_dedup(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id")
+        )
+
+    q["within_wave_dedup"] = within_wave_dedup
+
+    def links_union(spark, sf):
+        e = _t(spark, sf, "events")
+        links = e.filter(F.col("event_type") == "click").select(
+            "event_id", F.lit("link").alias("kind")
+        )
+        embeds = e.filter(F.col("event_type") == "view").select(
+            "event_id", F.lit("embed").alias("kind")
+        )
+        return links.unionByName(embeds)
+
+    q["links_union"] = links_union
+
+    # --- windows: politeness / budgets / ranking (SURVEY §2g) ---------------
+    def politeness_slotting(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .withColumn("slot", (F.col("rn") - 1) * F.lit(1.5))
+            .filter(F.col("slot") < 12.0)
+            .select("user_id", "event_id", "rn", "slot")
+        )
+
+    q["politeness_slotting"] = politeness_slotting
+
+    def per_host_budget(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("user_id", "event_id", "rn")
+        )
+
+    q["per_host_budget"] = per_host_budget
+
+    def frontier_order_topk(spark, sf):
+        e = _t(spark, sf, "events")
+        return (
+            e.orderBy(F.asc("event_type"), F.desc("value"), F.asc("event_id"))
+            .limit(100)
+            .select("event_id", "event_type", "value")
+        )
+
+    q["frontier_order_topk"] = frontier_order_topk
+
+    def top_hosts(spark, sf):
+        e = _t(spark, sf, "events")
+        return (
+            e.groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("user_id"))
+            .limit(20)
+        )
+
+    q["top_hosts"] = top_hosts
+
+    # --- aggregations / stats (SURVEY §2f) -----------------------------------
+    def status_counts(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+    q["status_counts"] = status_counts
+
+    def counter_max_rollup(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.rollup("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+    q["counter_max_rollup"] = counter_max_rollup
+
+    def latency_histogram(spark, sf):
+        e = _t(spark, sf, "events")
+        return (
+            e.withColumn("bucket", F.floor(F.col("value") / 25).cast("long"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+        )
+
+    q["latency_histogram"] = latency_histogram
+
+    def percentiles(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.groupBy("event_type").agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+
+    q["percentiles"] = percentiles
+
+    def distinct_hosts(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users")
+        )
+
+    q["distinct_hosts"] = distinct_hosts
+
+    def facet_rollup(spark, sf):
+        e = _t(spark, sf, "events")
+        k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("long")
+        return e.select(k.alias("facet_k")).groupBy("facet_k").agg(
+            F.count("*").alias("n")
+        )
+
+    q["facet_rollup"] = facet_rollup
+
+    def wave_summary(spark, sf):
+        e = _t(spark, sf, "events")
+        return e.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+
+    q["wave_summary"] = wave_summary
+
+    # --- redirect classification (SURVEY §2c special_redirect) ---------------
+    def special_redirect_case(spark, sf):
+        e = _t(spark, sf, "events")
+        m = (F.col("event_id") % 6).cast("int")
+        base_host = F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test"))
+        from_scheme = F.when(m == 4, F.lit("https")).otherwise(F.lit("http"))
+        from_host = F.when(m == 2, F.concat(F.lit("www."), base_host)).otherwise(base_host)
+        from_path = F.concat(F.lit("/p/"), (F.col("event_id") % 10).cast("string"))
+        to_scheme = (
+            F.when(m == 3, F.lit("https")).when(m == 4, F.lit("http")).otherwise(from_scheme)
+        )
+        to_host = (
+            F.when(m == 1, F.concat(F.lit("www."), base_host))
+            .when(m == 2, base_host)
+            .otherwise(from_host)
+        )
+        to_path = F.when(
+            m == 5, F.concat(F.lit("/q/"), (F.col("event_id") % 10).cast("string"))
+        ).otherwise(from_path)
+
+        def surt_of(host, path):
+            return F.concat(F.concat_ws(",", F.reverse(F.split(host, "\\."))), F.lit(")"), path)
+
+        kind = F.coalesce(
+            special_redirect_col(
+                from_scheme, from_host, surt_of(from_host, from_path), from_path, F.lit(""),
+                to_scheme, to_host, surt_of(to_host, to_path), to_path, F.lit(""),
+            ),
+            F.lit("redirect"),
+        )
+        return e.select("event_id", kind.alias("kind"))
+
+    q["special_redirect_case"] = special_redirect_case
+
+    # --- streaming-analog windows --------------------------------------------
+    def session_windows(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ep = F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / 1e6
+        gap = ep - F.lag(ep, 1).over(w)
+        new_sess = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+        sess = F.sum(new_sess).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return e.select("user_id", "event_id", sess.cast("long").alias("session_id"))
+
+    q["session_windows"] = session_windows
+
+    # --- training-data ops: dedup family --------------------------------------
+    def dup_exact_groups(spark, sf):
+        return exact_dup_groups(_t(spark, sf, "documents"), "text", "doc_id")
+
+    q["dedup_exact_groups"] = dup_exact_groups
+
+    def dedup_minhash_signatures(spark, sf):
+        return minhash_signatures(_t(spark, sf, "documents"), "text", "doc_id", k=8)
+
+    q["dedup_minhash_signatures"] = dedup_minhash_signatures
+
+    def dedup_minhash_lsh_pairs(spark, sf):
+        return minhash_lsh_pairs(
+            _t(spark, sf, "documents"), "text", "doc_id", k=8, bands=4
+        )
+
+    q["dedup_minhash_lsh_pairs"] = dedup_minhash_lsh_pairs
+
+    def dedup_ngram_jaccard(spark, sf):
+        return ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), "text", "doc_id", shingle_n=3, threshold=0.2
+        )
+
+    q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    def dedup_simhash(spark, sf):
+        return simhash_fingerprints(_t(spark, sf, "documents"), "text", "doc_id", bits=16)
+
+    q["dedup_simhash"] = dedup_simhash
+
+    # --- training-data ops: text analysis --------------------------------------
+    def text_token_count(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
+
+    q["text_token_count"] = text_token_count
+
+    def text_quality(spark, sf):
+        d = _t(spark, sf, "documents")
+        cols = quality_cols(F.col("text"))
+        return d.select(
+            "doc_id",
+            cols["n_tokens"].alias("n_tokens"),
+            cols["alpha_ratio"].alias("alpha_ratio"),
+            cols["stopword_ratio"].alias("stopword_ratio"),
+            cols["mean_token_len"].alias("mean_token_len"),
+        )
+
+    q["text_quality"] = text_quality
+
+    def text_langid(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", langid_col(F.col("text")).alias("lang_pred"))
+
+    q["text_langid"] = text_langid
+
+    def text_fingerprint(spark, sf):
+        from cocrawler_spark.functions.text import fingerprint_col
+
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
+
+    q["text_fingerprint"] = text_fingerprint
+
+    # --- training-data ops: similarity search ----------------------------------
+    def ann_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return cosine_topk_bruteforce(
+            emb, emb.filter(F.col("vec_id") < 8), k=5, round_to=4
+        )
+
+    q["ann_topk_bruteforce"] = ann_topk
+
+    def ann_lsh(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return lsh_ann_topk(
+            emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=4, round_to=4
+        )
+
+    q["ann_lsh_bucketed"] = ann_lsh
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _langid_structs() -> str:
+    return ", ".join(
+        "{'s': len(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + f"])), 'l': '{lang}'}}"
+        for lang in sorted(STOPWORDS)
+    )
+
+
+_SHINGLES_CTE = """
+tok AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    range(1, greatest(len(t) - 2, 1) + 1),
+    i -> {shhash}))) AS sh
+  FROM tok
+)
+""".format(
+    toks=tokens_sql("text"),
+    shhash=md5_hash64_sql("array_to_string(t[i:i+2], ' ')"),
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    s: dict[str, str] = {}
+    s["frontier_schedule"] = _FRONTIER_SQL
+
+    s["url_canonicalize_native"] = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(
+         lower('HTTP://H' || CAST(doc_id % 40 AS VARCHAR) || '.TEST:80/p/'
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END),
+         '#.*$', '', 'g'), ':80/', '/', 'g') AS url_clean
+FROM documents"""
+
+    s["surt_key"] = """
+SELECT doc_id,
+       array_to_string(list_reverse(string_split(
+         'h' || CAST(doc_id % 40 AS VARCHAR) || '.test', '.')), ',')
+       || ')/p/' || CAST(doc_id AS VARCHAR) AS surt
+FROM documents"""
+
+    s["content_type_parse"] = """
+SELECT event_id,
+       string_split(event_type || '/html; charset=UTF-8', ';')[1] AS mime,
+       lower(regexp_extract(event_type || '/html; charset=UTF-8',
+                            'charset=([A-Za-z0-9-]+)', 1)) AS charset
+FROM events"""
+
+    s["json_log"] = """
+SELECT event_id,
+       to_json(struct_pack(event_id := event_id, event_type := event_type)) AS log_line
+FROM events"""
+
+    s["scheme_filter"] = """
+SELECT doc_id, (['http','https','ftp'])[CAST(doc_id % 3 AS INT) + 1] AS scheme
+FROM documents
+WHERE (['http','https','ftp'])[CAST(doc_id % 3 AS INT) + 1] IN ('http','https')"""
+
+    s["depth_gate"] = "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber <= 4"
+
+    s["tries_gate"] = """
+SELECT event_id, CAST(event_id % 5 AS INT) AS tries
+FROM events WHERE event_id % 5 < 3"""
+
+    s["seen_anti_join"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+
+    s["within_wave_dedup"] = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1"""
+
+    s["links_union"] = """
+SELECT event_id, 'link' AS kind FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, 'embed' AS kind FROM events WHERE event_type = 'view'"""
+
+    s["politeness_slotting"] = """
+SELECT user_id, event_id, rn, CAST((rn - 1) AS DOUBLE) * 1.5 AS slot FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE (rn - 1) * 1.5 < 12.0"""
+
+    s["per_host_budget"] = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 5"""
+
+    s["frontier_order_topk"] = """
+SELECT event_id, event_type, value FROM events
+ORDER BY event_type ASC, value DESC, event_id ASC LIMIT 100"""
+
+    s["top_hosts"] = """
+SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+ORDER BY n DESC, user_id ASC LIMIT 20"""
+
+    s["status_counts"] = (
+        "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type"
+    )
+
+    s["counter_max_rollup"] = """
+SELECT event_type, COUNT(*) AS n, ROUND(MAX(value), 6) AS max_value,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY ROLLUP(event_type)"""
+
+    s["latency_histogram"] = """
+SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bucket, COUNT(*) AS n
+FROM events GROUP BY 1"""
+
+    s["percentiles"] = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type"""
+
+    s["distinct_hosts"] = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY event_type"""
+
+    s["facet_rollup"] = """
+SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS facet_k,
+       COUNT(*) AS n
+FROM events GROUP BY 1"""
+
+    s["wave_summary"] = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type"""
+
+    s["special_redirect_case"] = """
+WITH parts AS (
+  SELECT event_id,
+    CAST(event_id % 6 AS INT) AS m,
+    'h' || CAST(user_id % 20 AS VARCHAR) || '.test' AS bh,
+    '/p/' || CAST(event_id % 10 AS VARCHAR) AS fp,
+    '/q/' || CAST(event_id % 10 AS VARCHAR) AS qp
+  FROM events
+), u AS (
+  SELECT event_id, m, bh, fp, qp,
+    CASE WHEN m = 4 THEN 'https' ELSE 'http' END AS from_scheme,
+    CASE WHEN m = 2 THEN 'www.' || bh ELSE bh END AS from_host,
+    fp AS from_path
+  FROM parts
+), v AS (
+  SELECT *,
+    CASE WHEN m = 3 THEN 'https' WHEN m = 4 THEN 'http' ELSE from_scheme END AS to_scheme,
+    CASE WHEN m = 1 THEN 'www.' || bh WHEN m = 2 THEN bh ELSE from_host END AS to_host,
+    CASE WHEN m = 5 THEN qp ELSE fp END AS to_path
+  FROM u
+), sur AS (
+  SELECT *,
+    array_to_string(list_reverse(string_split(from_host, '.')), ',') || ')' || from_path AS from_surt,
+    array_to_string(list_reverse(string_split(to_host, '.')), ',') || ')' || to_path AS to_surt,
+    CASE WHEN from_scheme = 'http' AND to_scheme = 'https' THEN 'tohttps'
+         WHEN from_scheme = 'https' AND to_scheme = 'http' THEN 'tohttp'
+         ELSE '' END AS scheme_part
+  FROM v
+)
+SELECT event_id,
+  COALESCE(
+    CASE WHEN from_surt = to_surt THEN
+           (CASE WHEN scheme_part <> '' THEN scheme_part ELSE 'same surt' END)
+         WHEN from_path = to_path AND to_host = 'www.' || from_host THEN
+           (CASE WHEN scheme_part <> '' THEN scheme_part || '+addw' ELSE 'addw' END)
+         WHEN from_path = to_path AND from_host = 'www.' || to_host THEN
+           (CASE WHEN scheme_part <> '' THEN scheme_part || '+removew' ELSE 'removew' END)
+         ELSE NULL END,
+    'redirect') AS kind
+FROM sur"""
+
+    s["session_windows"] = """
+SELECT user_id, event_id,
+  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800.0
+         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events)"""
+
+    # --- training-data family ------------------------------------------------
+    s["dedup_exact_groups"] = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1"""
+
+    sig_exprs = ", ".join(
+        "MIN("
+        + md5_hash64_sql(f"'{i}:' || CAST(sh AS VARCHAR)")
+        + f") AS sig_{i}"
+        for i in range(8)
+    )
+    s["dedup_minhash_signatures"] = (
+        f"WITH {_SHINGLES_CTE} SELECT doc_id AS id, {sig_exprs} FROM sh GROUP BY doc_id"
+    )
+
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, "
+        f"md5(CAST(sig_{2 * b} AS VARCHAR) || ',' || CAST(sig_{2 * b + 1} AS VARCHAR)) AS bkey "
+        f"FROM sigs"
+        for b in range(4)
+    )
+    s["dedup_minhash_lsh_pairs"] = f"""
+WITH {_SHINGLES_CTE},
+sigs AS (SELECT doc_id AS id, {sig_exprs} FROM sh GROUP BY doc_id),
+banded AS ({band_selects})
+SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS band_hits
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+GROUP BY a.id, b.id"""
+
+    s["dedup_ngram_jaccard"] = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2"""
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(16)
+    )
+    fp_expr = " + ".join(f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16))
+    s["dedup_simhash"] = f"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS tk FROM documents),
+hashed AS (SELECT doc_id, {md5_hash64_sql('tk')} AS th FROM tok),
+bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id AS id, CAST({fp_expr} AS BIGINT) AS simhash FROM bits"""
+
+    s["text_token_count"] = (
+        f"SELECT doc_id, CAST(len({tokens_sql('text')}) AS INT) AS n_tokens FROM documents"
+    )
+
+    en_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    s["text_quality"] = f"""
+WITH t AS (SELECT doc_id, text, {tokens_sql('text')} AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  ROUND(len(list_filter(toks, x -> list_contains([{en_list}], x)))
+        / greatest(len(toks), 1), 6) AS stopword_ratio,
+  ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / greatest(len(toks), 1), 6) AS mean_token_len
+FROM t"""
+
+    s["text_langid"] = f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+m AS (SELECT doc_id, list_max([{_langid_structs()}]) AS mx FROM t)
+SELECT doc_id, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang_pred FROM m"""
+
+    fp_inner = md5_hash64_sql("array_to_string(t[i:i+2], ' ')")
+    s["text_fingerprint"] = f"""
+WITH tok AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
+SELECT doc_id,
+  list_min(list_transform(range(1, greatest(len(t) - 2, 1) + 1), i -> {fp_inner})) AS fp
+FROM tok"""
+
+    s["ann_topk_bruteforce"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS "rank",
+         ROUND(cos, 4) AS cosine
+  FROM scored)
+SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", cosine
+FROM ranked WHERE "rank" <= 5"""
+
+    return s

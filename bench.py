@@ -1,0 +1,152 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and a crawl-engine
+wave benchmark on the deterministic synthetic interleaved web, then
+prints ONE JSON line:
+
+  {"metric": "total_bench_seconds", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "crawl": {"urls": n, "waves": w, "elapsed_sec": s, "urls_per_sec": r}}
+
+Scaling-efficiency evidence (local[8] vs local[32], north_rule) is
+produced by tools/bench_scaling.py and recorded in BENCH/BASELINE.md —
+kept out of the per-round bench to bound its runtime.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+HEADLINE = [
+    "frontier_schedule",
+    "politeness_slotting",
+    "within_wave_dedup",
+    "seen_anti_join",
+    "frontier_order_topk",
+    "wave_summary",
+    "special_redirect_case",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "ann_topk_bruteforce",
+    "session_windows",
+]
+
+
+def build_session(cpus: int, app: str) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def run_crawl_bench(spark: SparkSession, size: str, waves: int = 3) -> dict:
+    """Crawl `waves` waves of the synthetic web; report frontier URLs
+    processed/sec (BASELINE.json metric, sandbox scale)."""
+    import shutil
+
+    from cocrawler_spark.config import CrawlConfig
+    from cocrawler_spark.plans.crawl import CrawlEngine
+    from cocrawler_spark.sources.corpus import (
+        read_documents,
+        read_robots_src,
+        read_seed_parquet,
+    )
+    from cocrawler_spark.synth import generate_parquet
+
+    data_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", "benchweb")
+    paths = generate_parquet(data_dir, size=size, seed=42)
+    cfg = CrawlConfig(
+        max_depth=4,
+        wave_budget_seconds=1e9,  # politeness off the critical path: throughput mode
+        max_waves=waves,
+        flaky_mod=10,
+    )
+    state = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".data", f"benchstate_{size}"
+    )
+    shutil.rmtree(state, ignore_errors=True)
+    eng = CrawlEngine(
+        spark,
+        cfg,
+        documents=read_documents(spark, paths["documents"]),
+        robots_src=read_robots_src(spark, paths["robots_src"]),
+        seeds=read_seed_parquet(spark, paths["seeds"]),
+        state_dir=state,
+    )
+    t0 = time.time()
+    eng.run(max_waves=waves)
+    elapsed = time.time() - t0
+    urls = eng.total_fetched
+    return {
+        "urls": urls,
+        "waves": waves,
+        "elapsed_sec": round(elapsed, 2),
+        "urls_per_sec": round(urls / elapsed, 2) if elapsed > 0 else 0.0,
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    crawl_size = os.environ.get("SPARK_GRAFT_CRAWL_SIZE", "medium")
+
+    spark = build_session(cpus, "cocrawler-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    t_all = time.time()
+    qtimes = run_queries(spark, sf_dir)
+    crawl = run_crawl_bench(spark, crawl_size)
+    total = round(time.time() - t_all, 2)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf,
+                "crawl": crawl,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
