@@ -71,18 +71,29 @@ class CrawlEngine:
         robots_src: DataFrame,
         seeds: DataFrame,
         state_dir: str,
+        use_bloom: bool = True,
+        bloom_buckets: int = 64,
+        bloom_compact_every: int = 4,
+        politeness_salt: int = 0,
     ):
         self.spark = spark
         self.cfg = cfg
         self.documents = documents
         self.robots_src = robots_src
         self.seeds = seeds
+        self.use_bloom = use_bloom
+        self.bloom_buckets = bloom_buckets
+        self.bloom_compact_every = bloom_compact_every
+        self.politeness_salt = politeness_salt
+        self.bloom: Optional[DataFrame] = None
         self.catalog = SnapshotCatalog(spark, state_dir)
         self.frontier: Optional[DataFrame] = None
         self.seen: Optional[DataFrame] = None
         self.robots: Optional[DataFrame] = None
         self.host_counts: Optional[DataFrame] = None
         self.total_fetched = 0
+        self.seen_total = 0
+        self.frontier_count = 0
         self._persisted: list[DataFrame] = []
         self._metrics_buf: list[tuple] = []
 
@@ -146,25 +157,80 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # seen anti-membership; the anti-join and the dedup window share
-        # the surt shuffle key (co-partitioned stages under AQE)
-        new_rows = deduped.join(self.seen.select("surt"), "surt", "left_anti")
-        new_rows = self._persist(
-            new_rows.select(
-                "url", "surt", "host", "path", "priority", "depth",
-                F.lit(0).alias("tries"), "is_seed", "via",
-            )
+        # seen anti-membership. With the bloom sidecar, candidates whose
+        # bucket bloom probes NEGATIVE are definitely unseen and bypass
+        # the exact anti-join (at 10^10 scale that removes most of the
+        # anti-join's shuffle traffic); positives fall through to the
+        # exact join — FPs cost a recheck, never a wrong drop.
+        out_cols = [
+            "url", "surt", "host", "path", "priority", "depth", "tries",
+            "is_seed", "via",
+        ]
+        deduped = deduped.select(
+            "url", "surt", "host", "path", "priority", "depth",
+            F.lit(0).alias("tries"), "is_seed", "via",
         )
+        if self.use_bloom and self.bloom is not None:
+            from ..state.bloom import split_by_bloom
+
+            sure_new, maybe_seen = split_by_bloom(
+                deduped, self.bloom, self.bloom_buckets
+            )
+            checked = self._anti_seen(maybe_seen)
+            new_rows = sure_new.select(*out_cols).unionByName(checked.select(*out_cols))
+        else:
+            new_rows = self._anti_seen(deduped)
+        new_rows = self._persist(new_rows.select(*out_cols))
         new_count = new_rows.count()
         dd = deduped.count()
         self._metric(wave, "wave_dup_dropped", kept_count - dd)
         self._metric(wave, "seen_dup_dropped", dd - new_count)
+        self.seen_total += new_count
 
         self.catalog.stage(
             "seen", new_rows.select("surt"), wave, mode="delta", lineage=True
         )
         self.seen = self.spark.read.parquet(*self._seen_paths())
-        return new_rows
+        if self.use_bloom:
+            from ..state.bloom import build_bloom_delta, compact_bloom
+
+            delta = build_bloom_delta(new_rows, wave, self.bloom_buckets)
+            bloom_all = delta if self.bloom is None else self.bloom.unionByName(delta)
+            if wave > 0 and self.bloom_compact_every and wave % self.bloom_compact_every == 0:
+                bloom_all = compact_bloom(bloom_all, self.bloom_buckets, wave)
+                self.bloom = self.catalog.stage("bloom", bloom_all, wave, mode="full")
+            else:
+                self.catalog.stage("bloom", delta, wave, mode="delta")
+                self.bloom = self.spark.read.parquet(*self._bloom_paths())
+        return new_rows, new_count
+
+    def _anti_seen(self, cand: DataFrame) -> DataFrame:
+        """cand rows whose surt is NOT in the seen table.
+
+        A plain left_anti would shuffle the (ever-growing) seen table
+        every wave. Instead: semi-join seen against the broadcast
+        candidate surts (scans seen, shuffles nothing) → a small `hits`
+        set → anti-join candidates against broadcast hits. At 10^10,
+        pair this with host_bucket-partitioned seen storage so the scan
+        prunes to candidate buckets; the bloom prefilter has already
+        removed the definitely-new majority."""
+        hits = self.seen.join(
+            F.broadcast(cand.select("surt")), "surt", "left_semi"
+        )
+        return cand.join(F.broadcast(hits), "surt", "left_anti")
+
+    def _bloom_paths(self) -> list[str]:
+        import os
+
+        base = os.path.join(self.catalog.root, "tables", "bloom")
+        if not os.path.isdir(base):
+            return []
+        paths = sorted(os.listdir(base))
+        # a 'full' version supersedes everything before it
+        fulls = [i for i, d in enumerate(paths) if d.endswith("-full")]
+        if fulls:
+            paths = paths[fulls[-1]:]
+        return [os.path.join(base, d) for d in paths if d.startswith("w")]
 
     def _seen_paths(self) -> list[str]:
         import os
@@ -192,9 +258,10 @@ class CrawlEngine:
             F.lit(True).alias("is_seed"),
             F.lit("seed").alias("via"),
         )
-        new_rows = self._add_candidates(0, cands)
+        new_rows, n_new = self._add_candidates(0, cands)
         self._flush_metrics(0)
         frontier = self.catalog.stage("frontier", new_rows, 0, mode="full")
+        self.frontier_count = n_new
         self.host_counts = self.spark.createDataFrame([], "host string, pages long")
         self.robots = self.spark.createDataFrame(
             [], "host string, fetched_wave int, crawl_delay double, ttl_waves int, "
@@ -246,8 +313,11 @@ class CrawlEngine:
             robots_allowed_udf()(F.col("path"), F.col("allow"), F.col("disallow")),
         )
         fj = self._persist(fj)
-        denied = fj.filter(~F.col("allowed")).count()
-        self._metric(wave, "robots_denied", denied)
+        acounts = {
+            r["allowed"]: r["cnt"]
+            for r in fj.groupBy("allowed").agg(F.count("*").alias("cnt")).collect()
+        }
+        self._metric(wave, "robots_denied", acounts.get(False, 0))
         allowed = fj.filter(F.col("allowed"))
 
         # --- per-host budget + politeness slotting (SURVEY.md §2g):
@@ -256,8 +326,9 @@ class CrawlEngine:
         af = allowed.join(self.host_counts, "host", "left").withColumn(
             "pages0", F.coalesce(F.col("pages"), F.lit(0))
         )
-        wh = Window.partitionBy("host").orderBy("priority", "rand", "surt")
-        af = af.withColumn("_rn", F.row_number().over(wh)).withColumn(
+        from ..operators.politeness import with_per_host_rank
+
+        af = with_per_host_rank(af, self.politeness_salt).withColumn(
             "_class",
             F.when(
                 F.col("_rn") > (F.lit(cfg.max_pages_per_host) - F.col("pages0")),
@@ -271,9 +342,13 @@ class CrawlEngine:
             .otherwise("fetch"),
         )
         af = self._persist(af)
-        self._metric(
-            wave, "host_budget_dropped", af.filter(F.col("_class") == "budget").count()
-        )
+        ccounts = {
+            r["_class"]: r["cnt"]
+            for r in af.groupBy("_class").agg(F.count("*").alias("cnt")).collect()
+        }
+        self._metric(wave, "host_budget_dropped", ccounts.get("budget", 0))
+        n_defer_pol = ccounts.get("defer", 0)
+        n_fetch0 = ccounts.get("fetch", 0)
         deferred_pol = af.filter(F.col("_class") == "defer").select(*FRONTIER_COLS)
         fetchable0 = af.filter(F.col("_class") == "fetch")
 
@@ -284,9 +359,15 @@ class CrawlEngine:
             persisted=self._persisted,
         )
         remaining_global = cfg.max_pages - self.total_fetched
-        fetchable = self._persist(fseq.filter(F.col("seq") <= remaining_global))
-        overflow = fseq.filter(F.col("seq") > remaining_global).select(*FRONTIER_COLS)
-        deferred = deferred_pol.unionByName(overflow)
+        n_overflow = max(0, n_fetch0 - remaining_global)
+        if n_overflow:
+            fetchable = self._persist(fseq.filter(F.col("seq") <= remaining_global))
+            overflow = fseq.filter(F.col("seq") > remaining_global).select(*FRONTIER_COLS)
+            deferred = deferred_pol.unionByName(overflow)
+        else:
+            fetchable = fseq
+            deferred = deferred_pol
+        n_deferred = n_defer_pol + n_overflow
 
         crawl_order_df = fetchable.select(
             F.lit(wave).alias("wave"), F.col("seq"), F.col("surt"), F.col("url")
@@ -330,14 +411,18 @@ class CrawlEngine:
         )
         self.catalog.stage("fetched_content", fetched_content, wave, mode="delta")
 
-        status_counts = {
-            r["status"]: r["cnt"]
-            for r in fx.groupBy("status").agg(F.count("*").alias("cnt")).collect()
-        }
+        # one pass for status counts + retry counts + depth watermark
+        srows = fx.groupBy("status").agg(
+            F.count("*").alias("cnt"),
+            F.sum(
+                F.when(F.col("tries") + 1 < cfg.max_tries, 1).otherwise(0)
+            ).alias("retriable"),
+            F.max("depth").alias("maxd"),
+        ).collect()
+        status_counts = {r["status"]: r["cnt"] for r in srows}
         pages = sum(status_counts.values())
-        agg = fx.agg(
-            F.coalesce(F.max("depth"), F.lit(0)).alias("maxd")
-        ).collect()[0]
+        maxd = max([r["maxd"] for r in srows], default=0)
+        n_requeue = sum(r["retriable"] for r in srows if r["status"] == 599)
         for st in sorted(status_counts):
             self._metric(wave, f"fetch_status_{st}", status_counts[st])
         self._metric(wave, "pages_fetched", pages)
@@ -359,8 +444,6 @@ class CrawlEngine:
             (F.col("tries") + 1).alias("tries"), "is_seed",
             F.lit("retry").alias("via"),
         )
-        requeue = self._persist(requeue)
-        n_requeue = requeue.count()
         n_599 = status_counts.get(599, 0)
         self._metric(wave, "lost", n_599 - n_requeue)
         self._metric(wave, "retries_queued", n_requeue)
@@ -442,26 +525,31 @@ class CrawlEngine:
         }
         self._metric(wave, "links_found", kinds.get("link", 0))
         self._metric(wave, "embeds_found", kinds.get("embed", 0))
-        n_deferred = deferred.count()
         self._metric(wave, "deferred", n_deferred)
-        self._metric(wave, "max_depth_fetched", agg["maxd"], kind="max")
+        self._metric(wave, "max_depth_fetched", maxd, kind="max")
 
         candidates = redirect_cands.unionByName(link_cands)
-        new_rows = self._add_candidates(wave, candidates)
+        new_rows, n_new = self._add_candidates(wave, candidates)
 
         nxt = deferred.unionByName(requeue).unionByName(new_rows.select(*FRONTIER_COLS))
         frontier_next = self.catalog.stage(
             "frontier", nxt, wave, mode="full", lineage=True
         )
-        n_next = frontier_next.count()
+        n_next = n_deferred + n_requeue + n_new
         self._metric(wave, "frontier_size_next", n_next)
-        self._metric(wave, "seen_size", self.seen.count(), kind="max")
+        self._metric(wave, "seen_size", self.seen_total, kind="max")
         self._flush_metrics(wave)
         self.catalog.commit(
-            wave, {"total_fetched": self.total_fetched, "done": n_next == 0}
+            wave,
+            {
+                "total_fetched": self.total_fetched,
+                "seen_total": self.seen_total,
+                "done": n_next == 0,
+            },
         )
         self._unpersist_all()
         self.frontier = frontier_next
+        self.frontier_count = n_next
         return frontier_next
 
     # ---------------------------------------------------------------- full run
@@ -474,7 +562,7 @@ class CrawlEngine:
         while (
             wave <= cap
             and self.total_fetched < self.cfg.max_pages
-            and self.frontier.limit(1).count() > 0
+            and self.frontier_count > 0
         ):
             self.run_wave(wave)
             wave += 1
@@ -492,13 +580,17 @@ class CrawlEngine:
         self.seen = self.catalog.load("seen", m)
         self.robots = self.catalog.load("robots", m)
         self.host_counts = self.catalog.load("host_counts", m)
+        if self.use_bloom:
+            self.bloom = self.catalog.load("bloom", m)
         self.total_fetched = int(m.get("total_fetched", 0))
+        self.seen_total = int(m.get("seen_total", 0))
+        self.frontier_count = self.frontier.count()
         cap = max_waves if max_waves is not None else self.cfg.max_waves
         wave = int(m["wave"]) + 1
         while (
             wave <= cap
             and self.total_fetched < self.cfg.max_pages
-            and self.frontier.limit(1).count() > 0
+            and self.frontier_count > 0
         ):
             self.run_wave(wave)
             wave += 1

@@ -67,13 +67,17 @@ class SnapshotCatalog:
         writer.parquet(path)
         entry = {"path": path, "mode": mode}
         if lineage:
+            # per-partition row counts + an order-insensitive crc over the
+            # leading (key) column — cheap enough to run every wave; a
+            # full-row digest would json-serialize the table
             back = self.spark.read.parquet(path)
+            key = back.columns[0]
             per_part = (
                 back.withColumn("_p", F.spark_partition_id())
                 .groupBy("_p")
                 .agg(
                     F.count("*").alias("rows"),
-                    F.sum(F.crc32(F.to_json(F.struct(*back.columns)))).alias("crc"),
+                    F.sum(F.crc32(F.col(key).cast("string"))).alias("crc"),
                 )
                 .collect()
             )

@@ -118,3 +118,25 @@ def test_resume_equals_uninterrupted(spark, tiny_web, tmp_path):
     e2 = build_engine(spark, tiny_web, CFG, tmp_path)  # same state dir
     e2.resume()
     assert_engine_matches_oracle(e2, simulate(tiny_web, CFG))
+
+
+def test_tiny_equality_salted_no_bloom(spark, tiny_web, tmp_path):
+    """Engine variants (salted politeness rank, bloom off) are pure
+    physical-plan choices — oracle equality must be bit-identical."""
+    from cocrawler_spark.sources.corpus import (
+        read_documents, read_robots_src, read_seed_parquet,
+    )
+    from cocrawler_spark.synth import write_parquet
+
+    paths = write_parquet(tiny_web, str(tmp_path / "web"))
+    engine = CrawlEngine(
+        spark, CFG,
+        documents=read_documents(spark, paths["documents"]),
+        robots_src=read_robots_src(spark, paths["robots_src"]),
+        seeds=read_seed_parquet(spark, paths["seeds"]),
+        state_dir=str(tmp_path / "state"),
+        use_bloom=False,
+        politeness_salt=8,
+    )
+    engine.run()
+    assert_engine_matches_oracle(engine, simulate(tiny_web, CFG))
