@@ -1,0 +1,167 @@
+"""Throughput scaling evidence: identical crawl at local[8] vs local[32].
+
+north_rule: "run ... at two cluster sizes (N and 4N executors) with
+throughput scaling efficiency ≥ 0.8 between them". Sandbox proxy per
+the driver instruction: same input, local[8] then local[32], report
+per-wave URLs/sec at both and eff = (thpt@32 / thpt@8) / 4.
+
+Writes BENCH/BASELINE.md. Wave 1 (seed wave, tiny) is excluded as
+warm-up; per-wave numbers are reported so the fixed-per-wave driver
+overhead is visible separately from the compute-bound tail.
+
+Usage: python tools/bench_scaling.py [size] [waves]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_crawl(cpus: int, size: str, waves: int) -> dict:
+    from cocrawler_spark.config import CrawlConfig
+    from cocrawler_spark.plans.crawl import CrawlEngine
+    from cocrawler_spark.sources.corpus import (
+        read_documents,
+        read_robots_src,
+        read_seed_parquet,
+    )
+    from cocrawler_spark.synth import generate_parquet
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"scaling-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    paths = generate_parquet(os.path.join(REPO, ".data", "benchweb"), size=size, seed=42)
+    cfg = CrawlConfig(
+        max_depth=5, wave_budget_seconds=1e9, max_waves=waves, flaky_mod=10
+    )
+    state = os.path.join(REPO, ".data", f"scalestate_{size}_{cpus}")
+    shutil.rmtree(state, ignore_errors=True)
+    eng = CrawlEngine(
+        spark,
+        cfg,
+        documents=read_documents(spark, paths["documents"]),
+        robots_src=read_robots_src(spark, paths["robots_src"]),
+        seeds=read_seed_parquet(spark, paths["seeds"]),
+        state_dir=state,
+        politeness_salt=16,
+    )
+    per_wave = []
+    t0 = time.time()
+    eng.seed_frontier()
+    w = 1
+    prev_total = 0
+    while w <= waves and eng.frontier_count > 0:
+        tw = time.time()
+        eng.run_wave(w)
+        dt = time.time() - tw
+        fetched = eng.total_fetched - prev_total
+        prev_total = eng.total_fetched
+        per_wave.append(
+            {"wave": w, "urls": fetched, "sec": round(dt, 2),
+             "urls_per_sec": round(fetched / dt, 2) if dt > 0 else 0}
+        )
+        w += 1
+    total_sec = time.time() - t0
+    spark.stop()
+    # steady-state throughput: exclude the seed wave + wave 1 ramp-up
+    tail = per_wave[1:] if len(per_wave) > 1 else per_wave
+    urls = sum(p["urls"] for p in tail)
+    sec = sum(p["sec"] for p in tail)
+    return {
+        "cpus": cpus,
+        "per_wave": per_wave,
+        "total_urls": eng.total_fetched,
+        "total_sec": round(total_sec, 2),
+        "steady_urls": urls,
+        "steady_sec": round(sec, 2),
+        "steady_urls_per_sec": round(urls / sec, 2) if sec else 0.0,
+        "last_wave_urls_per_sec": per_wave[-1]["urls_per_sec"] if per_wave else 0.0,
+    }
+
+
+def main():
+    size = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    waves = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    r8 = run_crawl(8, size, waves)
+    r32 = run_crawl(32, size, waves)
+    eff_steady = (r32["steady_urls_per_sec"] / r8["steady_urls_per_sec"]) / 4
+    eff_last = (
+        (r32["last_wave_urls_per_sec"] / r8["last_wave_urls_per_sec"]) / 4
+        if r8["last_wave_urls_per_sec"]
+        else 0
+    )
+    out = {
+        "size": size,
+        "local8": r8,
+        "local32": r32,
+        "efficiency_steady": round(eff_steady, 3),
+        "efficiency_last_wave": round(eff_last, 3),
+    }
+    print(json.dumps(out))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_raw.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    lines = [
+        "# BENCH/BASELINE.md — measured throughput + scaling efficiency",
+        "",
+        "Metric (BASELINE.json): frontier URLs processed/sec per wave; scaling",
+        "efficiency between two parallelism levels (sandbox proxy for N vs 4N",
+        "executors: `local[8]` vs `local[32]`, same input, same code).",
+        "",
+        f"Synthetic interleaved web: size `{size}` "
+        "(seed=42, Zipf host skew, redirects, robots), "
+        f"politeness budget effectively unbounded (throughput mode), bloom ON, "
+        f"salted per-host rank (S=16), {waves} waves.",
+        "",
+        "| parallelism | total URLs | steady URLs/s | last-wave URLs/s |",
+        "|---|---|---|---|",
+        f"| local[8] | {r8['total_urls']} | {r8['steady_urls_per_sec']} | {r8['last_wave_urls_per_sec']} |",
+        f"| local[32] | {r32['total_urls']} | {r32['steady_urls_per_sec']} | {r32['last_wave_urls_per_sec']} |",
+        "",
+        f"**Scaling efficiency (steady-state, waves 2+): "
+        f"eff = (thpt@32 / thpt@8) / 4 = {round(eff_steady, 3)}**",
+        f"**Scaling efficiency (largest wave only): {round(eff_last, 3)}**",
+        "",
+        "Per-wave breakdown (URLs, seconds, URLs/s):",
+        "",
+        "| wave | local[8] | local[32] |",
+        "|---|---|---|",
+    ]
+    for i in range(max(len(r8["per_wave"]), len(r32["per_wave"]))):
+        a = r8["per_wave"][i] if i < len(r8["per_wave"]) else None
+        b = r32["per_wave"][i] if i < len(r32["per_wave"]) else None
+        fa = f"{a['urls']} / {a['sec']}s / {a['urls_per_sec']}/s" if a else "—"
+        fb = f"{b['urls']} / {b['sec']}s / {b['urls_per_sec']}/s" if b else "—"
+        lines.append(f"| {i + 1} | {fa} | {fb} |")
+    lines += [
+        "",
+        "Notes: per-wave fixed driver overhead (snapshot commit, metric",
+        "aggregation, ~8 jobs) is parallelism-independent and dominates small",
+        "waves — the honest scaling signal is the largest (compute-bound)",
+        "wave. At 10^10-URL scale every wave is compute-bound, so the",
+        "last-wave figure is the one that extrapolates.",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
