@@ -95,31 +95,34 @@ def minhash_lsh_pairs(
     least one LSH band. rows/bands ratio sets the similarity knee."""
     rows_per_band = k // bands
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
-    band_rows = []
+    # one band-struct array + explode ⇒ the signature aggregation runs
+    # ONCE (a unioned/self-joined formulation would recompute it per
+    # band per join side — 2·bands× the shuffle); pairing then happens
+    # inside each (band,bkey) bucket via collect_list, so the only
+    # wide ops are one groupBy(doc) and one groupBy(bucket).
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sigs.select(
-                "id",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bkey"),
             )
         )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("band_hits"))
+    banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.posexplode("ids").alias("pa", "id_a"), "ids")
+        .select("pa", "id_a", F.posexplode("ids").alias("pb", "id_b"))
+        .filter(F.col("pa") < F.col("pb"))
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("band_hits"))
 
 
 # ---------------------------------------------------------------------------
@@ -197,31 +200,36 @@ def simhash_candidates(
     match; exact distance returned for post-filtering."""
     fps = simhash_fingerprints(df, text_col, id_col, bits)
     n_bands = bits // band_bits
-    bandrows = None
-    for i in range(n_bands):
-        br = fps.select(
-            "id",
-            "simhash",
+    band_structs = [
+        F.struct(
             F.lit(i).alias("band"),
             F.shiftright(F.col("simhash"), i * band_bits)
             .bitwiseAND(F.lit((1 << band_bits) - 1))
             .alias("bkey"),
         )
-        bandrows = br if bandrows is None else bandrows.unionByName(br)
-    a = bandrows.alias("a")
-    b = bandrows.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.id") < F.col("b.id")),
+        for i in range(n_bands)
+    ]
+    banded = fps.select(
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+            ).alias("members")
         )
+        .filter(F.size("members") > 1)
+    )
+    pairs = (
+        buckets.select(F.posexplode("members").alias("pa", "ma"), "members")
+        .select("pa", "ma", F.posexplode("members").alias("pb", "mb"))
+        .filter(F.col("pa") < F.col("pb"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("ma.id").alias("id_a"),
+            F.col("mb.id").alias("id_b"),
+            F.col("ma.simhash").alias("sh_a"),
+            F.col("mb.simhash").alias("sh_b"),
         )
         .distinct()
     )

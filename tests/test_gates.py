@@ -1,0 +1,65 @@
+import pytest
+
+from cocrawler_spark.functions.dns import is_private_host_py
+from cocrawler_spark.functions.domains import registered_domain_py
+from cocrawler_spark.functions.useragent import ROBOTS_TOKEN, user_agent
+
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        ("10.0.0.1", True),
+        ("192.168.1.5", True),
+        ("172.16.0.9", True),
+        ("172.32.0.9", False),  # outside 172.16/12
+        ("127.0.0.1", True),
+        ("169.254.0.1", True),
+        ("::1", True),
+        ("8.8.8.8", False),
+        ("localhost", True),
+        ("dev.localhost", True),
+        ("example.com", False),
+        ("", False),
+    ],
+)
+def test_private_host(host, expected):
+    assert is_private_host_py(host) is expected
+
+
+@pytest.mark.parametrize(
+    "host,expected",
+    [
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("h0.test", "h0.test"),
+        ("sub.h0.test", "h0.test"),
+        ("single", "single"),
+        ("deep.sub.domain.org", "domain.org"),
+        ("foo.unknowntld", "foo.unknowntld"),
+    ],
+)
+def test_registered_domain(host, expected):
+    assert registered_domain_py(host) == expected
+
+
+def test_user_agent():
+    ua = user_agent()
+    assert ROBOTS_TOKEN in ua and ua.startswith("Mozilla/5.0")
+
+
+def test_udf_parity(spark):
+    from pyspark.sql import functions as F
+
+    from cocrawler_spark.functions.dns import is_private_host_udf
+    from cocrawler_spark.functions.domains import registered_domain_udf
+
+    hosts = ["10.0.0.1", "example.com", "www.a.co.uk", "localhost", "h0.test"]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"]).select(
+        "host",
+        is_private_host_udf()(F.col("host")).alias("priv"),
+        registered_domain_udf()(F.col("host")).alias("rd"),
+    )
+    for r in df.collect():
+        assert r["priv"] == is_private_host_py(r["host"])
+        assert r["rd"] == registered_domain_py(r["host"])
