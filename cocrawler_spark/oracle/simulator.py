@@ -51,6 +51,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..config import CrawlConfig
+from ..functions.dns import is_private_host_py
 from ..functions.hashing import is_flaky, keyed_hash64, rand_key
 from ..functions.parse import (
     content_sha1_py,
@@ -137,7 +138,9 @@ class Simulator:
         """The add_url† pipeline, set-at-a-time. Returns new frontier items."""
         cfg = self.cfg
         canon_items: list[Item] = []
-        counters = dict(bad_url=0, scheme_dropped=0, depth_dropped=0)
+        counters = dict(
+            bad_url=0, scheme_dropped=0, private_dropped=0, depth_dropped=0
+        )
         for cand in raw_candidates:
             c = canonicalize_one(cand["raw"], cand.get("base"))
             if not c.url:
@@ -145,6 +148,9 @@ class Simulator:
                 continue
             if c.scheme not in ALLOWED_SCHEMES:
                 counters["scheme_dropped"] += 1
+                continue
+            if is_private_host_py(c.host):
+                counters["private_dropped"] += 1
                 continue
             if cand["depth"] > cfg.max_depth:
                 counters["depth_dropped"] += 1
@@ -187,6 +193,7 @@ class Simulator:
             new_items.append(it)
         self._metric(wave, "bad_url", counters["bad_url"])
         self._metric(wave, "scheme_dropped", counters["scheme_dropped"])
+        self._metric(wave, "private_dropped", counters["private_dropped"])
         self._metric(wave, "depth_dropped", counters["depth_dropped"])
         self._metric(wave, "wave_dup_dropped", wave_dups)
         self._metric(wave, "seen_dup_dropped", seen_dups)

@@ -46,6 +46,7 @@ from ..functions.parse import (
     extract_outlinks_udf,
     redirect_target_col,
 )
+from ..functions.dns import is_private_host_udf
 from ..functions.robots import robots_allowed_udf
 from ..functions.urls import ALLOWED_SCHEMES, with_canonical
 from ..operators.ordering import with_global_seq
@@ -132,6 +133,7 @@ class CrawlEngine:
             "drop_reason",
             F.when(F.col("url") == "", "bad_url")
             .when(~F.col("scheme").isin(*ALLOWED_SCHEMES), "scheme_dropped")
+            .when(is_private_host_udf()(F.col("host")), "private_dropped")
             .when(F.col("depth") > F.lit(cfg.max_depth), "depth_dropped"),
         )
         c = self._persist(c)
@@ -139,7 +141,7 @@ class CrawlEngine:
             r["drop_reason"]: r["cnt"]
             for r in c.groupBy("drop_reason").agg(F.count("*").alias("cnt")).collect()
         }
-        for name in ("bad_url", "scheme_dropped", "depth_dropped"):
+        for name in ("bad_url", "scheme_dropped", "private_dropped", "depth_dropped"):
             self._metric(wave, name, reasons.get(name, 0))
         kept_count = reasons.get(None, 0)
 

@@ -78,6 +78,9 @@ def _mk_target(rng: random.Random, host: str, hosts: list[str], counts: dict) ->
         t_host = hosts[rng.randrange(len(hosts))]
     n = rng.randrange(max(1, counts.get(t_host, 1) + 3))  # some 404s
     r = rng.random()
+    if r < 0.02:  # private/loopback targets the crawler must refuse
+        return ("http://127.0.0.1/admin", "http://localhost/x",
+                "http://10.1.2.3/p/0")[rng.randrange(3)]
     if r < 0.10 and t_host == host:
         return f"/p/{n}" if rng.random() < 0.7 else f"../p/{n}"
     url = f"http://{t_host}/p/{n}"

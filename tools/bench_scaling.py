@@ -1,15 +1,17 @@
 """Throughput scaling evidence: identical crawl at local[8] vs local[32].
 
-north_rule: "run ... at two cluster sizes (N and 4N executors) with
-throughput scaling efficiency ≥ 0.8 between them". Sandbox proxy per
-the driver instruction: same input, local[8] then local[32], report
-per-wave URLs/sec at both and eff = (thpt@32 / thpt@8) / 4.
+north_rule: "run via spark-submit --py-files on a multi-executor
+cluster at two cluster sizes (N and 4N executors) with throughput
+scaling efficiency ≥ 0.8". Sandbox proxy per the driver instruction:
+same input, local[8] then local[32], eff = (thpt@32 / thpt@8) / 4.
 
-Writes BENCH/BASELINE.md. Wave 1 (seed wave, tiny) is excluded as
-warm-up; per-wave numbers are reported so the fixed-per-wave driver
-overhead is visible separately from the compute-bound tail.
+Each parallelism level runs in its OWN spark-submit process — a shared
+driver JVM poisons the second measurement (GC pressure + sticky
+first-session sizing made local[32] look slower than local[8] when
+run in-process).
 
-Usage: python tools/bench_scaling.py [size] [waves]
+Orchestrate:  python tools/bench_scaling.py [size] [waves]
+Single level: spark-submit tools/bench_scaling.py --single CPUS SIZE WAVES OUT.json
 """
 
 from __future__ import annotations
@@ -17,17 +19,17 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from pyspark.sql import SparkSession
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 
 def run_crawl(cpus: int, size: str, waves: int) -> dict:
+    from pyspark.sql import SparkSession
+
     from cocrawler_spark.config import CrawlConfig
     from cocrawler_spark.plans.crawl import CrawlEngine
     from cocrawler_spark.sources.corpus import (
@@ -42,7 +44,7 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         .appName(f"scaling-{cpus}")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", "20g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -79,15 +81,15 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         )
         w += 1
     total_sec = time.time() - t0
+    total_fetched = eng.total_fetched
     spark.stop()
-    # steady-state throughput: exclude the seed wave + wave 1 ramp-up
     tail = per_wave[1:] if len(per_wave) > 1 else per_wave
     urls = sum(p["urls"] for p in tail)
     sec = sum(p["sec"] for p in tail)
     return {
         "cpus": cpus,
         "per_wave": per_wave,
-        "total_urls": eng.total_fetched,
+        "total_urls": total_fetched,
         "total_sec": round(total_sec, 2),
         "steady_urls": urls,
         "steady_sec": round(sec, 2),
@@ -96,11 +98,27 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
     }
 
 
-def main():
-    size = sys.argv[1] if len(sys.argv) > 1 else "bench"
-    waves = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    r8 = run_crawl(8, size, waves)
-    r32 = run_crawl(32, size, waves)
+def run_level_subprocess(cpus: int, size: str, waves: int) -> dict:
+    out = os.path.join(REPO, ".data", f"scaling_{cpus}.json")
+    if os.path.exists(out):
+        os.remove(out)
+    submit = shutil.which("spark-submit") or "spark-submit"
+    cmd = [
+        submit,
+        "--master", f"local[{cpus}]",
+        "--driver-memory", "20g",
+        os.path.join(REPO, "tools", "bench_scaling.py"),
+        "--single", str(cpus), size, str(waves), out,
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    subprocess.run(cmd, check=True, cwd=REPO, env=env,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out) as f:
+        return json.load(f)
+
+
+def write_report(size: str, waves: int, r8: dict, r32: dict):
     eff_steady = (r32["steady_urls_per_sec"] / r8["steady_urls_per_sec"]) / 4
     eff_last = (
         (r32["last_wave_urls_per_sec"] / r8["last_wave_urls_per_sec"]) / 4
@@ -123,23 +141,22 @@ def main():
         "",
         "Metric (BASELINE.json): frontier URLs processed/sec per wave; scaling",
         "efficiency between two parallelism levels (sandbox proxy for N vs 4N",
-        "executors: `local[8]` vs `local[32]`, same input, same code).",
+        "executors: `local[8]` vs `local[32]`, same input, same code, separate",
+        "spark-submit processes).",
         "",
-        f"Synthetic interleaved web: size `{size}` "
-        "(seed=42, Zipf host skew, redirects, robots), "
-        f"politeness budget effectively unbounded (throughput mode), bloom ON, "
-        f"salted per-host rank (S=16), {waves} waves.",
+        f"Synthetic interleaved web: size `{size}` (seed=42, Zipf host skew,",
+        "redirects, robots), politeness budget unbounded (throughput mode),",
+        f"bloom ON, salted per-host rank (S=16), {waves} waves.",
         "",
-        "| parallelism | total URLs | steady URLs/s | last-wave URLs/s |",
+        "| parallelism | total URLs | steady URLs/s (waves 2+) | last-wave URLs/s |",
         "|---|---|---|---|",
         f"| local[8] | {r8['total_urls']} | {r8['steady_urls_per_sec']} | {r8['last_wave_urls_per_sec']} |",
         f"| local[32] | {r32['total_urls']} | {r32['steady_urls_per_sec']} | {r32['last_wave_urls_per_sec']} |",
         "",
-        f"**Scaling efficiency (steady-state, waves 2+): "
-        f"eff = (thpt@32 / thpt@8) / 4 = {round(eff_steady, 3)}**",
-        f"**Scaling efficiency (largest wave only): {round(eff_last, 3)}**",
+        f"**Scaling efficiency (steady-state): eff = (thpt@32 / thpt@8) / 4 = {round(eff_steady, 3)}**",
+        f"**Scaling efficiency (largest wave): {round(eff_last, 3)}**",
         "",
-        "Per-wave breakdown (URLs, seconds, URLs/s):",
+        "Per-wave breakdown (URLs / seconds / URLs-per-sec):",
         "",
         "| wave | local[8] | local[32] |",
         "|---|---|---|",
@@ -153,14 +170,30 @@ def main():
     lines += [
         "",
         "Notes: per-wave fixed driver overhead (snapshot commit, metric",
-        "aggregation, ~8 jobs) is parallelism-independent and dominates small",
-        "waves — the honest scaling signal is the largest (compute-bound)",
-        "wave. At 10^10-URL scale every wave is compute-bound, so the",
-        "last-wave figure is the one that extrapolates.",
+        "aggregation, ~8 collect points) is parallelism-independent and",
+        "dominates small waves; the largest (compute-bound) wave is the",
+        "figure that extrapolates to 10^10-URL scale where every wave is",
+        "compute-bound.",
         "",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines))
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        cpus, size, waves, out = (
+            int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), sys.argv[5]
+        )
+        res = run_crawl(cpus, size, waves)
+        with open(out, "w") as f:
+            json.dump(res, f)
+        return
+    size = sys.argv[1] if len(sys.argv) > 1 else "bench"
+    waves = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    r8 = run_level_subprocess(8, size, waves)
+    r32 = run_level_subprocess(32, size, waves)
+    write_report(size, waves, r8, r32)
 
 
 if __name__ == "__main__":
