@@ -42,7 +42,11 @@ from cocrawler_spark.operators.dedup import (
     simhash_fingerprints,
 )
 from cocrawler_spark.operators.redirects import special_redirect_col
-from cocrawler_spark.operators.similarity import cosine_topk_bruteforce, lsh_ann_topk
+from cocrawler_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -463,6 +467,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_bucketed"] = ann_lsh
 
+    def dedup_embedding_neardup(spark, sf):
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+        return embedding_neardup_pairs(emb, threshold=0.3, round_to=4)
+
+    q["dedup_embedding_neardup"] = dedup_embedding_neardup
+
+    def text_token_bpeish(spark, sf):
+        d = _t(spark, sf, "documents")
+        pat = "[A-Za-z]{1,4}|[0-9]{1,4}|[^A-Za-z0-9\\s]"
+        return d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias("n_subwords"),
+        )
+
+    q["text_token_bpeish"] = text_token_bpeish
+
     return q
 
 
@@ -738,6 +758,21 @@ WITH tok AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)
 SELECT doc_id,
   list_min(list_transform(range(1, greatest(len(t) - 2, 1) + 1), i -> {fp_inner})) AS fp
 FROM tok"""
+
+    s["dedup_embedding_neardup"] = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.3"""
+
+    s["text_token_bpeish"] = (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]{1,4}|[0-9]{1,4}|[^A-Za-z0-9\\s]', 0)) AS INT) AS n_subwords "
+        "FROM documents"
+    )
 
     s["ann_topk_bruteforce"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

@@ -143,3 +143,29 @@ def lsh_ann_topk(
             F.round(F.col("cos"), round_to).alias("cosine"),
         )
     )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
+
+    Brute-force O(n²) within the given corpus slice — the correctness
+    baseline. Scale path: replace the self-crossJoin with the LSH
+    bucket join of `lsh_ann_topk` (same scoring expression), or an IVF
+    coarse quantizer; the scoring/threshold stage is unchanged.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn(
+        "cos",
+        cosine_col(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+    )
+    return scored.filter(F.col("cos") >= threshold).select(
+        "id_a", "id_b", F.round(F.col("cos"), round_to).alias("cosine")
+    )
