@@ -97,6 +97,7 @@ class CrawlEngine:
         self.frontier_count = 0
         self._persisted: list[DataFrame] = []
         self._metrics_buf: list[tuple] = []
+        self._base_manifest: Optional[dict] = None
 
     # ------------------------------------------------------------------ utils
 
@@ -192,7 +193,7 @@ class CrawlEngine:
         self.catalog.stage(
             "seen", new_rows.select("surt"), wave, mode="delta", lineage=True
         )
-        self.seen = self.spark.read.parquet(*self._seen_paths())
+        self.seen = self.spark.read.parquet(*self._seen_paths(wave))
         if self.use_bloom:
             from ..state.bloom import build_bloom_delta, compact_bloom
 
@@ -203,7 +204,7 @@ class CrawlEngine:
                 self.bloom = self.catalog.stage("bloom", bloom_all, wave, mode="full")
             else:
                 self.catalog.stage("bloom", delta, wave, mode="delta")
-                self.bloom = self.spark.read.parquet(*self._bloom_paths())
+                self.bloom = self.spark.read.parquet(*self._bloom_paths(wave))
         return new_rows, new_count
 
     def _anti_seen(self, cand: DataFrame) -> DataFrame:
@@ -221,30 +222,37 @@ class CrawlEngine:
         )
         return cand.join(F.broadcast(hits), "surt", "left_anti")
 
-    def _bloom_paths(self) -> list[str]:
+    def _table_dirs(self, name: str, up_to_wave: int) -> list[str]:
+        """Delta dirs of `name` with wave number ≤ up_to_wave — directory
+        listing alone would leak deltas from waves abandoned by a
+        rollback-resume."""
         import os
 
-        base = os.path.join(self.catalog.root, "tables", "bloom")
+        base = os.path.join(self.catalog.root, "tables", name)
         if not os.path.isdir(base):
             return []
-        paths = sorted(os.listdir(base))
-        # a 'full' version supersedes everything before it
+        out = []
+        for d in sorted(os.listdir(base)):
+            if not d.startswith("w"):
+                continue
+            try:
+                w = int(d[1:6])
+            except ValueError:
+                continue
+            if w <= up_to_wave:
+                out.append(d)
+        return [os.path.join(base, d) for d in out]
+
+    def _bloom_paths(self, up_to_wave: int) -> list[str]:
+        paths = self._table_dirs("bloom", up_to_wave)
+        # a 'full' (compacted) version supersedes everything before it
         fulls = [i for i, d in enumerate(paths) if d.endswith("-full")]
         if fulls:
             paths = paths[fulls[-1]:]
-        return [os.path.join(base, d) for d in paths if d.startswith("w")]
+        return paths
 
-    def _seen_paths(self) -> list[str]:
-        import os
-
-        base = os.path.join(self.catalog.root, "tables", "seen")
-        if not os.path.isdir(base):
-            return []
-        return [
-            os.path.join(base, d)
-            for d in sorted(os.listdir(base))
-            if d.startswith("w")
-        ]
+    def _seen_paths(self, up_to_wave: int) -> list[str]:
+        return self._table_dirs("seen", up_to_wave)
 
     # ------------------------------------------------------------- wave 0 seeds
 
@@ -271,7 +279,9 @@ class CrawlEngine:
         )
         self.catalog.stage("host_counts", self.host_counts, 0, mode="full")
         self.catalog.stage("robots", self.robots, 0, mode="full")
-        self.catalog.commit(0, {"total_fetched": 0, "done": False})
+        self._base_manifest = self.catalog.commit(
+            0, {"total_fetched": 0, "done": False}, base={"tables": {}}
+        )
         self._unpersist_all()
         self.frontier = frontier
         return frontier
@@ -541,13 +551,14 @@ class CrawlEngine:
         self._metric(wave, "frontier_size_next", n_next)
         self._metric(wave, "seen_size", self.seen_total, kind="max")
         self._flush_metrics(wave)
-        self.catalog.commit(
+        self._base_manifest = self.catalog.commit(
             wave,
             {
                 "total_fetched": self.total_fetched,
                 "seen_total": self.seen_total,
                 "done": n_next == 0,
             },
+            base=self._base_manifest,
         )
         self._unpersist_all()
         self.frontier = frontier_next
@@ -570,14 +581,22 @@ class CrawlEngine:
             wave += 1
         return wave - 1
 
-    def resume(self, max_waves: Optional[int] = None) -> int:
+    def resume(
+        self, max_waves: Optional[int] = None, at_wave: Optional[int] = None
+    ) -> int:
         """Continue from the latest committed snapshot (north_rule:
-        resumable from checkpoint). Idempotent per wave: a wave is
+        resumable from checkpoint), or roll back to snapshot `at_wave`
+        and re-run from there. Idempotent per wave: a wave is
         deterministic given its inputs, so replaying a partially-written
         (uncommitted) wave just overwrites its staged files."""
-        m = self.catalog.latest_manifest()
+        m = (
+            self.catalog.manifest_at(at_wave)
+            if at_wave is not None
+            else self.catalog.latest_manifest()
+        )
         if m is None:
             return self.run(max_waves)
+        self._base_manifest = m
         self.frontier = self.catalog.load("frontier", m)
         self.seen = self.catalog.load("seen", m)
         self.robots = self.catalog.load("robots", m)

@@ -89,14 +89,19 @@ class SnapshotCatalog:
         self._pending[name] = entry
         return self.spark.read.parquet(path)
 
-    def commit(self, wave: int, extra: Optional[dict] = None) -> dict:
+    def commit(
+        self, wave: int, extra: Optional[dict] = None, base: Optional[dict] = None
+    ) -> dict:
         """Atomically publish all staged tables as snapshot `wave`.
 
         The manifest carries the *cumulative* file list per table:
-        previous snapshot's entries plus this wave's staged versions
-        (full versions reset the list).
+        the BASE snapshot's entries plus this wave's staged versions
+        (full versions reset the list). `base` must be the manifest this
+        run is extending — chaining from the globally-latest manifest
+        would, after a rollback-resume, append re-staged paths onto the
+        abandoned run's list and double-read those deltas.
         """
-        prev = self.latest_manifest()
+        prev = base if base is not None else self.latest_manifest()
         tables: dict[str, dict] = {}
         if prev:
             tables = {k: dict(v) for k, v in prev["tables"].items()}
@@ -104,7 +109,8 @@ class SnapshotCatalog:
             if entry["mode"] == "full":
                 tables[name] = {"paths": [entry["path"]]}
             else:
-                paths = tables.get(name, {}).get("paths", [])
+                paths = [p for p in tables.get(name, {}).get("paths", [])
+                         if p != entry["path"]]
                 tables[name] = {"paths": paths + [entry["path"]]}
             for k in ("partitions", "rows"):
                 if k in entry:

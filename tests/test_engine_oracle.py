@@ -140,3 +140,38 @@ def test_tiny_equality_salted_no_bloom(spark, tiny_web, tmp_path):
     )
     engine.run()
     assert_engine_matches_oracle(engine, simulate(tiny_web, CFG))
+
+
+def test_rollback_resume(spark, tiny_web, tmp_path):
+    """Roll back to wave 1's snapshot and re-run: stale deltas from the
+    abandoned waves must not leak into state (bit-identical result)."""
+    e1 = build_engine(spark, tiny_web, CFG, tmp_path)
+    e1.run()  # full crawl, all waves committed
+    e2 = build_engine(spark, tiny_web, CFG, tmp_path)  # same state dir
+    e2.resume(at_wave=1)  # rollback + replay waves 2..n
+    assert_engine_matches_oracle(e2, simulate(tiny_web, CFG))
+
+
+def test_seed_text_reader(spark, tiny_web, tmp_path):
+    """Text seed files: one URL per line, '#' comments, blanks skipped
+    (cocrawler/seeds.py† semantics) — crawl result identical to the
+    parquet seed path."""
+    from cocrawler_spark.sources.corpus import (
+        read_documents, read_robots_src, read_seed_text,
+    )
+    from cocrawler_spark.synth import write_parquet
+
+    paths = write_parquet(tiny_web, str(tmp_path / "web"))
+    seed_txt = tmp_path / "seeds.txt"
+    seed_txt.write_text(
+        "# seed list\n\n" + "\n".join(tiny_web.seeds) + "\n# trailing comment\n"
+    )
+    engine = CrawlEngine(
+        spark, CFG,
+        documents=read_documents(spark, paths["documents"]),
+        robots_src=read_robots_src(spark, paths["robots_src"]),
+        seeds=read_seed_text(spark, str(seed_txt)),
+        state_dir=str(tmp_path / "state"),
+    )
+    engine.run()
+    assert_engine_matches_oracle(engine, simulate(tiny_web, CFG))

@@ -113,7 +113,8 @@ def run_level_subprocess(cpus: int, size: str, waves: int) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     subprocess.run(cmd, check=True, cwd=REPO, env=env,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                   stdout=subprocess.DEVNULL,
+                   stderr=open(out + ".err", "w"))
     with open(out) as f:
         return json.load(f)
 
