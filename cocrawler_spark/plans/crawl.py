@@ -33,6 +33,7 @@ cocrawler_spark.oracle.simulator.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -98,6 +99,10 @@ class CrawlEngine:
         self._persisted: list[DataFrame] = []
         self._metrics_buf: list[tuple] = []
         self._base_manifest: Optional[dict] = None
+        # independent state/output writes of one wave overlap in these
+        # threads instead of running as ~10 sequential driver jobs
+        self._writer = ThreadPoolExecutor(max_workers=6, thread_name_prefix="stage")
+        self._futures: list[tuple] = []
 
     # ------------------------------------------------------------------ utils
 
@@ -114,12 +119,24 @@ class CrawlEngine:
     def _metric(self, wave: int, name: str, value: float, kind: str = "sum"):
         self._metrics_buf.append((wave, name, kind, float(value)))
 
+    def _stage_async(self, name, df, wave, mode="delta", lineage=False):
+        self._futures.append(
+            (name, self._writer.submit(self.catalog.stage, name, df, wave, mode, lineage))
+        )
+
+    def _join_writes(self) -> dict:
+        out = {}
+        for name, fut in self._futures:
+            out[name] = fut.result()
+        self._futures = []
+        return out
+
     def _flush_metrics(self, wave: int):
         rows = [
             (int(w), n, k, float(v)) for (w, n, k, v) in self._metrics_buf
         ]
         df = self.spark.createDataFrame(rows, "wave int, name string, kind string, value double")
-        self.catalog.stage("metrics", df, wave, mode="delta")
+        self._stage_async("metrics", df, wave, mode="delta")
         self._metrics_buf = []
 
     # --------------------------------------------------------- add_url pipeline
@@ -190,22 +207,39 @@ class CrawlEngine:
         self._metric(wave, "seen_dup_dropped", dd - new_count)
         self.seen_total += new_count
 
-        self.catalog.stage(
+        self._stage_async(
             "seen", new_rows.select("surt"), wave, mode="delta", lineage=True
         )
-        self.seen = self.spark.read.parquet(*self._seen_paths(wave))
         if self.use_bloom:
             from ..state.bloom import build_bloom_delta, compact_bloom
 
             delta = build_bloom_delta(new_rows, wave, self.bloom_buckets)
-            bloom_all = delta if self.bloom is None else self.bloom.unionByName(delta)
-            if wave > 0 and self.bloom_compact_every and wave % self.bloom_compact_every == 0:
-                bloom_all = compact_bloom(bloom_all, self.bloom_buckets, wave)
-                self.bloom = self.catalog.stage("bloom", bloom_all, wave, mode="full")
+            if (
+                wave > 0
+                and self.bloom_compact_every
+                and wave % self.bloom_compact_every == 0
+            ):
+                bloom_all = (
+                    delta if self.bloom is None else self.bloom.unionByName(delta)
+                )
+                self._stage_async(
+                    "bloom",
+                    compact_bloom(bloom_all, self.bloom_buckets, wave),
+                    wave,
+                    mode="full",
+                )
             else:
-                self.catalog.stage("bloom", delta, wave, mode="delta")
-                self.bloom = self.spark.read.parquet(*self._bloom_paths(wave))
+                self._stage_async("bloom", delta, wave, mode="delta")
         return new_rows, new_count
+
+    def _refresh_state_after_writes(self, wave: int):
+        """Point seen/bloom at their on-disk form (fresh lineage) once the
+        wave's async writes have landed."""
+        self.seen = self.spark.read.parquet(*self._seen_paths(wave))
+        if self.use_bloom:
+            paths = self._bloom_paths(wave)
+            if paths:
+                self.bloom = self.spark.read.parquet(*paths)
 
     def _anti_seen(self, cand: DataFrame) -> DataFrame:
         """cand rows whose surt is NOT in the seen table.
@@ -270,21 +304,23 @@ class CrawlEngine:
         )
         new_rows, n_new = self._add_candidates(0, cands)
         self._flush_metrics(0)
-        frontier = self.catalog.stage("frontier", new_rows, 0, mode="full")
+        self._stage_async("frontier", new_rows, 0, mode="full")
         self.frontier_count = n_new
         self.host_counts = self.spark.createDataFrame([], "host string, pages long")
         self.robots = self.spark.createDataFrame(
             [], "host string, fetched_wave int, crawl_delay double, ttl_waves int, "
             "allow array<string>, disallow array<string>",
         )
-        self.catalog.stage("host_counts", self.host_counts, 0, mode="full")
-        self.catalog.stage("robots", self.robots, 0, mode="full")
+        self._stage_async("host_counts", self.host_counts, 0, mode="full")
+        self._stage_async("robots", self.robots, 0, mode="full")
+        results = self._join_writes()
         self._base_manifest = self.catalog.commit(
             0, {"total_fetched": 0, "done": False}, base={"tables": {}}
         )
+        self._refresh_state_after_writes(0)
         self._unpersist_all()
-        self.frontier = frontier
-        return frontier
+        self.frontier = results["frontier"]
+        return self.frontier
 
     # ---------------------------------------------------------------- one wave
 
@@ -311,8 +347,9 @@ class CrawlEngine:
                 F.coalesce("disallow", _empty_arr()).alias("disallow"),
             )
         )
-        robots_new = fresh.select(*newly.columns).unionByName(newly)
-        self.robots = self.catalog.stage("robots", robots_new, wave, mode="full")
+        robots_new = self._persist(fresh.select(*newly.columns).unionByName(newly))
+        self._stage_async("robots", robots_new, wave, mode="full")
+        self.robots = robots_new
         self._metric(wave, "robots_fetched", newly.count())
 
         # --- robots allow/deny (broadcast-sized in practice; AQE decides)
@@ -384,7 +421,7 @@ class CrawlEngine:
         crawl_order_df = fetchable.select(
             F.lit(wave).alias("wave"), F.col("seq"), F.col("surt"), F.col("url")
         )
-        self.catalog.stage("crawl_order", crawl_order_df, wave, mode="delta")
+        self._stage_async("crawl_order", crawl_order_df, wave, mode="delta")
 
         # --- fetch = left equi-join on url==doc_id (SURVEY.md §1 row 8);
         # url is unique after dedup so the join has no key skew.
@@ -421,7 +458,7 @@ class CrawlEngine:
             .cast("int")
             .alias("n_spans"),
         )
-        self.catalog.stage("fetched_content", fetched_content, wave, mode="delta")
+        self._stage_async("fetched_content", fetched_content, wave, mode="delta")
 
         # one pass for status counts + retry counts + depth watermark
         srows = fx.groupBy("status").agg(
@@ -447,7 +484,7 @@ class CrawlEngine:
             .groupBy("host")
             .agg(F.sum("pages").alias("pages"))
         )
-        self.host_counts = self.catalog.stage("host_counts", hc, wave, mode="full")
+        self._stage_async("host_counts", hc, wave, mode="full")
 
         # --- retries (tries gate; fetch_and_process retry path†)
         r = fx.filter(F.col("status") == 599)
@@ -487,7 +524,7 @@ class CrawlEngine:
             F.lit(wave).alias("wave"),
             "from_url", "from_surt", "to_url", "to_surt", "kind",
         )
-        self.catalog.stage("redirects", redirects_out, wave, mode="delta")
+        self._stage_async("redirects", redirects_out, wave, mode="delta")
         redirect_cands = rd.select(
             F.col("_redirect_tgt").alias("raw"),
             F.col("url").alias("base"),
@@ -513,7 +550,7 @@ class CrawlEngine:
             "doc_id", "ord", F.col("l.target").alias("target"),
             F.col("l.kind").alias("kind"), F.col("l.span_offset").alias("span_offset"),
         )
-        self.catalog.stage("outlinks", outlinks_flat, wave, mode="delta")
+        self._stage_async("outlinks", outlinks_flat, wave, mode="delta")
 
         link_cands = ol.select(
             "url", "priority", "depth", F.explode("outlinks").alias("l")
@@ -544,13 +581,12 @@ class CrawlEngine:
         new_rows, n_new = self._add_candidates(wave, candidates)
 
         nxt = deferred.unionByName(requeue).unionByName(new_rows.select(*FRONTIER_COLS))
-        frontier_next = self.catalog.stage(
-            "frontier", nxt, wave, mode="full", lineage=True
-        )
+        self._stage_async("frontier", nxt, wave, mode="full", lineage=True)
         n_next = n_deferred + n_requeue + n_new
         self._metric(wave, "frontier_size_next", n_next)
         self._metric(wave, "seen_size", self.seen_total, kind="max")
         self._flush_metrics(wave)
+        results = self._join_writes()
         self._base_manifest = self.catalog.commit(
             wave,
             {
@@ -560,10 +596,13 @@ class CrawlEngine:
             },
             base=self._base_manifest,
         )
+        self._refresh_state_after_writes(wave)
+        self.host_counts = results["host_counts"]
+        self.robots = results["robots"]
         self._unpersist_all()
-        self.frontier = frontier_next
+        self.frontier = results["frontier"]
         self.frontier_count = n_next
-        return frontier_next
+        return self.frontier
 
     # ---------------------------------------------------------------- full run
 

@@ -33,11 +33,17 @@ from pyspark.sql import functions as F
 
 class SnapshotCatalog:
     def __init__(self, spark: SparkSession, root: str):
+        import threading
+
         self.spark = spark
         self.root = root
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "tables"), exist_ok=True)
         self._pending: dict[str, dict] = {}
+        # stage() may be called from the engine's writer thread pool —
+        # independent table writes per wave overlap instead of running
+        # as ~10 sequential driver-blocking jobs
+        self._lock = threading.Lock()
 
     # -- write side ---------------------------------------------------------
 
@@ -86,7 +92,8 @@ class SnapshotCatalog:
                 for r in sorted(per_part, key=lambda r: r["_p"])
             ]
             entry["rows"] = sum(p["rows"] for p in entry["partitions"])
-        self._pending[name] = entry
+        with self._lock:
+            self._pending[name] = entry
         return self.spark.read.parquet(path)
 
     def commit(

@@ -49,7 +49,16 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    paths = generate_parquet(os.path.join(REPO, ".data", "benchweb"), size=size, seed=42)
+    from cocrawler_spark.synth_spark import XL_SIZES, generate_parquet_spark
+
+    if size in XL_SIZES:
+        paths = generate_parquet_spark(
+            spark, os.path.join(REPO, ".data", "benchweb"), size=size, seed=42
+        )
+    else:
+        paths = generate_parquet(
+            os.path.join(REPO, ".data", "benchweb"), size=size, seed=42
+        )
     cfg = CrawlConfig(
         max_depth=5, wave_budget_seconds=1e9, max_waves=waves, flaky_mod=10
     )
