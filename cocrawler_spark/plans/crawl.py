@@ -131,6 +131,12 @@ class CrawlEngine:
         self._futures = []
         return out
 
+    def __del__(self):
+        try:
+            self._writer.shutdown(wait=False)
+        except Exception:
+            pass
+
     def _flush_metrics(self, wave: int):
         rows = [
             (int(w), n, k, float(v)) for (w, n, k, v) in self._metrics_buf
