@@ -1,0 +1,109 @@
+"""Property-based tests (SURVEY.md §5.2(4)) — pure Python, hypothesis."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cocrawler_spark.config import CrawlConfig
+from cocrawler_spark.functions.robots import robots_allowed_py
+from cocrawler_spark.functions.urls import canonicalize_one
+from cocrawler_spark.oracle.simulator import simulate
+from cocrawler_spark.synth import generate
+
+_HOST = st.from_regex(r"[a-z][a-z0-9]{0,8}(\.[a-z][a-z0-9]{1,6}){1,2}", fullmatch=True)
+_PATH = st.from_regex(r"(/[a-zA-Z0-9._~%-]{0,12}){0,4}", fullmatch=True)
+_QUERY = st.from_regex(r"([a-z]{1,5}=[a-zA-Z0-9%]{0,8}(&[a-z]{1,5}=[a-zA-Z0-9]{0,6}){0,2})?", fullmatch=True)
+
+
+@st.composite
+def urls(draw):
+    scheme = draw(st.sampled_from(["http", "https", "HTTP", "Http"]))
+    host = draw(_HOST)
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080"]))
+    path = draw(_PATH)
+    q = draw(_QUERY)
+    frag = draw(st.sampled_from(["", "#x", "#frag"]))
+    return f"{scheme}://{host}{port}{path}" + (f"?{q}" if q else "") + frag
+
+
+@given(urls())
+@settings(max_examples=300, deadline=None)
+def test_canonicalize_idempotent(u):
+    once = canonicalize_one(u)
+    if once.url:
+        twice = canonicalize_one(once.url)
+        assert twice.url == once.url
+        assert twice.surt == once.surt
+
+
+@given(urls())
+@settings(max_examples=200, deadline=None)
+def test_surt_scheme_and_fragment_invariant(u):
+    c = canonicalize_one(u)
+    if not c.url:
+        return
+    assert canonicalize_one(c.url + "#zzz").surt == c.surt
+    # surt identical for the https twin — except when an explicit port is
+    # present: :443 is default-for-https but not-for-http, so the surts
+    # genuinely (and correctly) differ
+    if ":" not in c.url.split("//", 1)[1].split("/", 1)[0]:
+        twin = (
+            c.url.replace("http://", "https://", 1)
+            if c.url.startswith("http://")
+            else c.url
+        )
+        assert canonicalize_one(twin).surt == c.surt
+
+
+@given(
+    st.text(alphabet=string.ascii_lowercase + "/", min_size=1, max_size=15),
+    st.lists(st.text(alphabet=string.ascii_lowercase + "/", min_size=1, max_size=8), max_size=4),
+    st.lists(st.text(alphabet=string.ascii_lowercase + "/", min_size=1, max_size=8), max_size=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_robots_longest_match_property(path, allow, disallow):
+    path = "/" + path
+    allow = ["/" + a for a in allow]
+    disallow = ["/" + d for d in disallow]
+    verdict = robots_allowed_py(path, allow, disallow)
+    matches_a = [a for a in allow if path.startswith(a)]
+    matches_d = [d for d in disallow if path.startswith(d)]
+    if not matches_a and not matches_d:
+        assert verdict is True
+    elif matches_a and not matches_d:
+        assert verdict is True
+    elif matches_d and not matches_a:
+        assert verdict is False
+    else:
+        la, ld = max(map(len, matches_a)), max(map(len, matches_d))
+        assert verdict is (la >= ld)
+
+
+def test_oracle_seen_monotone_and_politeness_invariants():
+    """Seen set only grows wave over wave; no host exceeds its per-wave
+    politeness cap; crawl order seqs are dense."""
+    import math
+
+    web = generate("tiny", seed=42)
+    cfg = CrawlConfig(max_depth=3, wave_budget_seconds=4.0, max_waves=6)
+    from cocrawler_spark.oracle.simulator import Simulator
+
+    sim = Simulator(web, cfg)
+    frontier = sim.seed_frontier()
+    prev_seen = set(sim.res.seen)
+    wave = 1
+    while frontier and wave <= cfg.max_waves:
+        frontier = sim.run_wave(wave, frontier)
+        assert prev_seen <= sim.res.seen
+        prev_seen = set(sim.res.seen)
+        wave += 1
+    per = {}
+    for w, _, s, u in sim.res.crawl_order:
+        host = u.split("/")[2]
+        per.setdefault((w, host), 0)
+        per[(w, host)] += 1
+    for (w, host), n in per.items():
+        delay = sim.robots_state[host]["crawl_delay"]
+        cap = math.ceil(cfg.wave_budget_seconds / delay)
+        assert n <= cap
