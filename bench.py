@@ -106,6 +106,7 @@ def run_crawl_bench(spark: SparkSession, size: str, waves: int = 3) -> dict:
         robots_src=read_robots_src(spark, paths["robots_src"]),
         seeds=read_seed_parquet(spark, paths["seeds"]),
         state_dir=state,
+        lean=True,
     )
     t0 = time.time()
     eng.run(max_waves=waves)

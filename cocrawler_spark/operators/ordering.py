@@ -28,12 +28,15 @@ def with_global_seq(
     seq_col: str = "seq",
     num_partitions: int | None = None,
     persisted: list | None = None,
+    total_out: dict | None = None,
 ) -> DataFrame:
     """Attach a global 1-based dense sequence following `order_cols`.
 
     The range-partitioned intermediate is persisted so the count pass
     and the rank pass share one shuffle; it is appended to `persisted`
-    (if given) for the caller to unpersist at end of wave.
+    (if given) for the caller to unpersist at end of wave. The count
+    pass already knows the total row count — callers that need it get
+    it for free via `total_out['total']` instead of a second count job.
     """
     p = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     part = (
@@ -44,6 +47,8 @@ def with_global_seq(
     if persisted is not None:
         persisted.append(part)
     counts = {r["_pid"]: r["cnt"] for r in part.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    if total_out is not None:
+        total_out["total"] = sum(counts.values())
     offsets = {}
     acc = 0
     for pid in sorted(counts):

@@ -77,6 +77,7 @@ class CrawlEngine:
         bloom_buckets: int = 64,
         bloom_compact_every: int = 4,
         politeness_salt: int = 0,
+        lean: bool = False,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -87,6 +88,18 @@ class CrawlEngine:
         self.bloom_buckets = bloom_buckets
         self.bloom_compact_every = bloom_compact_every
         self.politeness_salt = politeness_salt
+        # lean mode: skip metrics-only collect jobs; control-flow counts
+        # come from the lineage row counts the staged writes compute
+        # anyway (async, off the driver's critical path). Used by the
+        # throughput benches; correctness/oracle runs use the default
+        # (full metrics, oracle-equal metric sums).
+        self.lean = lean
+        # opt-in wall-clock per blocking phase (bench diagnosis):
+        # list of (wave, label, seconds) when SPARK_GRAFT_PROFILE=1
+        import os as _os
+
+        self.profile = _os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+        self.prof: list[tuple] = []
         self.bloom: Optional[DataFrame] = None
         self.catalog = SnapshotCatalog(spark, state_dir)
         self.frontier: Optional[DataFrame] = None
@@ -118,6 +131,14 @@ class CrawlEngine:
 
     def _metric(self, wave: int, name: str, value: float, kind: str = "sum"):
         self._metrics_buf.append((wave, name, kind, float(value)))
+
+    def _ckpt(self, wave: int, label: str, t0: float) -> float:
+        import time
+
+        t = time.time()
+        if self.profile:
+            self.prof.append((wave, label, round(t - t0, 3)))
+        return t
 
     def _stage_async(self, name, df, wave, mode="delta", lineage=False):
         self._futures.append(
@@ -161,13 +182,15 @@ class CrawlEngine:
             .when(F.col("depth") > F.lit(cfg.max_depth), "depth_dropped"),
         )
         c = self._persist(c)
-        reasons = {
-            r["drop_reason"]: r["cnt"]
-            for r in c.groupBy("drop_reason").agg(F.count("*").alias("cnt")).collect()
-        }
-        for name in ("bad_url", "scheme_dropped", "private_dropped", "depth_dropped"):
-            self._metric(wave, name, reasons.get(name, 0))
-        kept_count = reasons.get(None, 0)
+        kept_count = 0
+        if not self.lean:
+            reasons = {
+                r["drop_reason"]: r["cnt"]
+                for r in c.groupBy("drop_reason").agg(F.count("*").alias("cnt")).collect()
+            }
+            for name in ("bad_url", "scheme_dropped", "private_dropped", "depth_dropped"):
+                self._metric(wave, name, reasons.get(name, 0))
+            kept_count = reasons.get(None, 0)
 
         kept = c.filter(F.col("drop_reason").isNull()).withColumn(
             "path",
@@ -197,21 +220,26 @@ class CrawlEngine:
             F.lit(0).alias("tries"), "is_seed", "via",
         )
         if self.use_bloom and self.bloom is not None:
-            from ..state.bloom import split_by_bloom
+            from ..state.bloom import probe_bloom
 
-            sure_new, maybe_seen = split_by_bloom(
-                deduped, self.bloom, self.bloom_buckets
+            probed = self._persist(
+                probe_bloom(deduped, self.bloom, self.bloom_buckets)
             )
+            sure_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+            maybe_seen = probed.filter(F.col("_maybe")).drop("_maybe")
             checked = self._anti_seen(maybe_seen)
             new_rows = sure_new.select(*out_cols).unionByName(checked.select(*out_cols))
         else:
             new_rows = self._anti_seen(deduped)
         new_rows = self._persist(new_rows.select(*out_cols))
-        new_count = new_rows.count()
-        dd = deduped.count()
-        self._metric(wave, "wave_dup_dropped", kept_count - dd)
-        self._metric(wave, "seen_dup_dropped", dd - new_count)
-        self.seen_total += new_count
+        if self.lean:
+            new_count = None  # read from the seen delta's lineage at commit
+        else:
+            new_count = new_rows.count()
+            dd = deduped.count()
+            self._metric(wave, "wave_dup_dropped", kept_count - dd)
+            self._metric(wave, "seen_dup_dropped", dd - new_count)
+            self.seen_total += new_count
 
         self._stage_async(
             "seen", new_rows.select("surt"), wave, mode="delta", lineage=True
@@ -310,8 +338,7 @@ class CrawlEngine:
         )
         new_rows, n_new = self._add_candidates(0, cands)
         self._flush_metrics(0)
-        self._stage_async("frontier", new_rows, 0, mode="full")
-        self.frontier_count = n_new
+        self._stage_async("frontier", new_rows, 0, mode="full", lineage=True)
         self.host_counts = self.spark.createDataFrame([], "host string, pages long")
         self.robots = self.spark.createDataFrame(
             [], "host string, fetched_wave int, crawl_delay double, ttl_waves int, "
@@ -323,6 +350,13 @@ class CrawlEngine:
         self._base_manifest = self.catalog.commit(
             0, {"total_fetched": 0, "done": False}, base={"tables": {}}
         )
+        self.frontier_count = (
+            self._base_manifest["tables"]["frontier"]["rows"]
+            if n_new is None
+            else n_new
+        )
+        if self.lean:
+            self.seen_total = self._base_manifest["tables"]["seen"].get("rows", 0)
         self._refresh_state_after_writes(0)
         self._unpersist_all()
         self.frontier = results["frontier"]
@@ -331,6 +365,9 @@ class CrawlEngine:
     # ---------------------------------------------------------------- one wave
 
     def run_wave(self, wave: int) -> DataFrame:
+        import time
+
+        t = time.time()
         cfg = self.cfg
         rk = rand_key(cfg.rng_seed, wave)
         f = self.frontier.withColumn("rand", keyed_hash64_col(rk, F.col("surt")))
@@ -356,7 +393,9 @@ class CrawlEngine:
         robots_new = self._persist(fresh.select(*newly.columns).unionByName(newly))
         self._stage_async("robots", robots_new, wave, mode="full")
         self.robots = robots_new
-        self._metric(wave, "robots_fetched", newly.count())
+        if not self.lean:
+            self._metric(wave, "robots_fetched", newly.count())
+        t = self._ckpt(wave, "robots", t)
 
         # --- robots allow/deny (broadcast-sized in practice; AQE decides)
         fj = f.join(
@@ -367,12 +406,13 @@ class CrawlEngine:
             "allowed",
             robots_allowed_udf()(F.col("path"), F.col("allow"), F.col("disallow")),
         )
-        fj = self._persist(fj)
-        acounts = {
-            r["allowed"]: r["cnt"]
-            for r in fj.groupBy("allowed").agg(F.count("*").alias("cnt")).collect()
-        }
-        self._metric(wave, "robots_denied", acounts.get(False, 0))
+        if not self.lean:
+            fj = self._persist(fj)
+            acounts = {
+                r["allowed"]: r["cnt"]
+                for r in fj.groupBy("allowed").agg(F.count("*").alias("cnt")).collect()
+            }
+            self._metric(wave, "robots_denied", acounts.get(False, 0))
         allowed = fj.filter(F.col("allowed"))
 
         # --- per-host budget + politeness slotting (SURVEY.md §2g):
@@ -397,22 +437,29 @@ class CrawlEngine:
             .otherwise("fetch"),
         )
         af = self._persist(af)
-        ccounts = {
-            r["_class"]: r["cnt"]
-            for r in af.groupBy("_class").agg(F.count("*").alias("cnt")).collect()
-        }
-        self._metric(wave, "host_budget_dropped", ccounts.get("budget", 0))
-        n_defer_pol = ccounts.get("defer", 0)
-        n_fetch0 = ccounts.get("fetch", 0)
+        if self.lean:
+            n_defer_pol = 0  # rolled into the staged frontier's lineage count
+        else:
+            ccounts = {
+                r["_class"]: r["cnt"]
+                for r in af.groupBy("_class").agg(F.count("*").alias("cnt")).collect()
+            }
+            self._metric(wave, "host_budget_dropped", ccounts.get("budget", 0))
+            n_defer_pol = ccounts.get("defer", 0)
         deferred_pol = af.filter(F.col("_class") == "defer").select(*FRONTIER_COLS)
         fetchable0 = af.filter(F.col("_class") == "fetch")
 
-        # --- global crawl order + global page cap
+        # --- global crawl order + global page cap (the seq pass already
+        # counts rows per range partition; its sum is the fetchable count)
+        seq_total: dict = {}
         fseq = with_global_seq(
             fetchable0.select(*FRONTIER_COLS, "rand"),
             ["priority", "rand", "surt"],
             persisted=self._persisted,
+            total_out=seq_total,
         )
+        n_fetch0 = seq_total["total"]
+        t = self._ckpt(wave, "politeness+seq", t)
         remaining_global = cfg.max_pages - self.total_fetched
         n_overflow = max(0, n_fetch0 - remaining_global)
         if n_overflow:
@@ -430,7 +477,11 @@ class CrawlEngine:
         self._stage_async("crawl_order", crawl_order_df, wave, mode="delta")
 
         # --- fetch = left equi-join on url==doc_id (SURVEY.md §1 row 8);
-        # url is unique after dedup so the join has no key skew.
+        # url is unique after dedup so the join has no key skew. The
+        # heavy `spans` column (page bodies) is distilled in ONE pass —
+        # status, sha1, n_spans, outlinks — and dropped BEFORE the
+        # persist: caching page bodies would cost GBs per wave at bench
+        # scale and re-reading them per consumer would re-run the join.
         docs = self.documents
         fx = fetchable.join(docs, fetchable["url"] == docs["doc_id"], "left")
         fx = fx.withColumn("_redirect_tgt", redirect_target_col(F.col("spans"))).withColumn(
@@ -443,26 +494,25 @@ class CrawlEngine:
             .when(F.col("_redirect_tgt").isNotNull(), F.lit(301))
             .otherwise(F.lit(200)),
         )
-        fx = self._persist(fx)
-
-        fetched_content = fx.select(
-            F.lit(wave).alias("wave"),
-            "url",
-            "surt",
+        has_body = F.col("doc_id").isNotNull() & (F.col("status") != 599)
+        fx = fx.select(
+            *FRONTIER_COLS,
+            "doc_id",
+            "_redirect_tgt",
             "status",
-            F.when(
-                F.col("doc_id").isNotNull() & (F.col("status") != 599),
-                content_sha1_col(F.col("spans")),
-            )
+            F.when(has_body, content_sha1_col(F.col("spans")))
             .otherwise(F.lit(""))
             .alias("sha1"),
-            F.when(
-                F.col("doc_id").isNotNull() & (F.col("status") != 599),
-                F.size(F.col("spans")),
-            )
+            F.when(has_body, F.size(F.col("spans")))
             .otherwise(F.lit(0))
             .cast("int")
             .alias("n_spans"),
+            extract_outlinks_udf()(F.col("spans")).alias("outlinks"),
+        )
+        fx = self._persist(fx)
+
+        fetched_content = fx.select(
+            F.lit(wave).alias("wave"), "url", "surt", "status", "sha1", "n_spans"
         )
         self._stage_async("fetched_content", fetched_content, wave, mode="delta")
 
@@ -474,6 +524,7 @@ class CrawlEngine:
             ).alias("retriable"),
             F.max("depth").alias("maxd"),
         ).collect()
+        t = self._ckpt(wave, "fetch+distill", t)
         status_counts = {r["status"]: r["cnt"] for r in srows}
         pages = sum(status_counts.values())
         maxd = max([r["maxd"] for r in srows], default=0)
@@ -540,14 +591,10 @@ class CrawlEngine:
             F.lit("redirect").alias("via"),
         )
 
-        # --- parse 200s: Arrow-vectorized outlink extraction (burner† analog)
-        p200 = fx.filter(F.col("status") == 200).select(
-            "url", "priority", "depth", "spans"
-        )
-        ol = self._persist(
-            p200.withColumn("outlinks", extract_outlinks_udf()(F.col("spans"))).select(
-                "url", "priority", "depth", "outlinks"
-            )
+        # --- parse 200s: the Arrow-vectorized outlink extraction (burner†
+        # analog) already ran in the distill pass above; just slice it.
+        ol = fx.filter(F.col("status") == 200).select(
+            "url", "priority", "depth", "outlinks"
         )
         outlinks_flat = ol.select(
             F.col("url").alias("doc_id"),
@@ -574,25 +621,46 @@ class CrawlEngine:
             F.col("l.kind").alias("via"),
         )
         link_cands = self._persist(link_cands)
-        kinds = {
-            r["via"]: r["cnt"]
-            for r in link_cands.groupBy("via").agg(F.count("*").alias("cnt")).collect()
-        }
-        self._metric(wave, "links_found", kinds.get("link", 0))
-        self._metric(wave, "embeds_found", kinds.get("embed", 0))
-        self._metric(wave, "deferred", n_deferred)
+        if not self.lean:
+            kinds = {
+                r["via"]: r["cnt"]
+                for r in link_cands.groupBy("via").agg(F.count("*").alias("cnt")).collect()
+            }
+            self._metric(wave, "links_found", kinds.get("link", 0))
+            self._metric(wave, "embeds_found", kinds.get("embed", 0))
+            self._metric(wave, "deferred", n_deferred)
         self._metric(wave, "max_depth_fetched", maxd, kind="max")
 
         candidates = redirect_cands.unionByName(link_cands)
+        t = self._ckpt(wave, "classify+metrics", t)
         new_rows, n_new = self._add_candidates(wave, candidates)
+        t = self._ckpt(wave, "add_candidates", t)
 
         nxt = deferred.unionByName(requeue).unionByName(new_rows.select(*FRONTIER_COLS))
         self._stage_async("frontier", nxt, wave, mode="full", lineage=True)
-        n_next = n_deferred + n_requeue + n_new
-        self._metric(wave, "frontier_size_next", n_next)
-        self._metric(wave, "seen_size", self.seen_total, kind="max")
-        self._flush_metrics(wave)
+        if self.lean:
+            self._flush_metrics(wave)
+            self._join_writes_and_commit(wave, n_next=None)
+        else:
+            n_next = n_deferred + n_requeue + n_new
+            self._metric(wave, "frontier_size_next", n_next)
+            self._metric(wave, "seen_size", self.seen_total, kind="max")
+            self._flush_metrics(wave)
+            self._join_writes_and_commit(wave, n_next=n_next)
+        return self.frontier
+
+    def _join_writes_and_commit(self, wave: int, n_next: Optional[int]):
+        import time
+
+        t = time.time()
         results = self._join_writes()
+        t = self._ckpt(wave, "join_writes", t)
+        if self.lean:
+            # lean mode derives counts from the lineage the staged
+            # writes computed (no dedicated count jobs ran this wave)
+            self.seen_total += self.catalog._pending["seen"].get("rows", 0)
+            if n_next is None:
+                n_next = self.catalog._pending["frontier"].get("rows", 0)
         self._base_manifest = self.catalog.commit(
             wave,
             {
@@ -608,7 +676,7 @@ class CrawlEngine:
         self._unpersist_all()
         self.frontier = results["frontier"]
         self.frontier_count = n_next
-        return self.frontier
+        self._ckpt(wave, "commit+refresh", t)
 
     # ---------------------------------------------------------------- full run
 

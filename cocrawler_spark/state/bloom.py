@@ -137,20 +137,53 @@ def compact_bloom(bloom_df: DataFrame, num_buckets: int, wave: int) -> DataFrame
     )
 
 
-def probe_udf():
-    @F.pandas_udf(BooleanType())
-    def probe(surt: pd.Series, bitmap: pd.Series, m_bits: pd.Series) -> pd.Series:
-        # NULL bitmap (bucket with no bloom yet) ⇒ not seen. The UDF must
-        # handle NULLs itself: when/otherwise does not short-circuit
-        # vectorized UDF evaluation.
-        return pd.Series(
-            [
-                False if b is None else probe_bitmap(s, bytes(b), int(m))
-                for s, b, m in zip(surt.tolist(), bitmap.tolist(), m_bits.tolist())
-            ]
-        )
+def probe_bloom(
+    candidates: DataFrame, bloom_df: DataFrame, num_buckets: int
+) -> DataFrame:
+    """Candidates + a `_maybe` boolean: true iff ANY bitmap of the
+    candidate's bucket probes positive (bucket with no bitmap ⇒ false).
 
-    return probe
+    Shape matters at scale: a join of bitmaps onto candidate ROWS would
+    replicate each multi-KB bitmap once per candidate through the Arrow
+    boundary (candidates × bitmap-size bytes) and fan out per bitmap
+    version. A COGROUP meets each bucket's candidates and its bitmaps
+    once per task: one shuffle of the candidates keyed by bucket, one
+    bitmap deserialization per group, no re-aggregation pass.
+    """
+    from ..functions.hashing import host_bucket_col
+
+    from pyspark.sql.types import StructField, StructType
+
+    cand_cols = candidates.columns
+    c = candidates.withColumn("_hb", host_bucket_col(F.col("host"), num_buckets))
+    out_schema = StructType(
+        list(c.schema.fields) + [StructField("_maybe", BooleanType())]
+    )
+
+    def probe_group(cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if bloom_pdf.empty:
+            cand_pdf["_maybe"] = False
+            return cand_pdf
+        bitmaps = [
+            (bytes(b), int(m))
+            for b, m in zip(bloom_pdf["bitmap"].tolist(), bloom_pdf["m_bits"].tolist())
+        ]
+        cand_pdf["_maybe"] = [
+            any(probe_bitmap(s, bm, m) for bm, m in bitmaps)
+            for s in cand_pdf["surt"].tolist()
+        ]
+        return cand_pdf
+
+    probed = (
+        c.groupBy("_hb")
+        .cogroup(
+            bloom_df.select(
+                F.col("host_bucket").alias("_hb"), "m_bits", "bitmap"
+            ).groupBy("_hb")
+        )
+        .applyInPandas(probe_group, out_schema)
+    )
+    return probed.select(*cand_cols, "_maybe")
 
 
 def split_by_bloom(
@@ -158,32 +191,11 @@ def split_by_bloom(
 ) -> tuple[DataFrame, DataFrame]:
     """Partition candidates into (definitely_new, maybe_seen).
 
-    A candidate is maybe_seen iff ANY bitmap of its bucket probes
-    positive. Candidates in buckets with no bitmap yet are new.
+    Thin wrapper over probe_bloom; callers that will consume both
+    branches should persist probe_bloom's output themselves and filter,
+    so the probe runs once.
     """
-    from ..functions.hashing import host_bucket_col
-
-    c = candidates.withColumn(
-        "_hb", host_bucket_col(F.col("host"), num_buckets)
-    )
-    j = c.join(
-        bloom_df.select(
-            F.col("host_bucket").alias("_hb"), "m_bits", "bitmap"
-        ),
-        "_hb",
-        "left",
-    )
-    j = j.withColumn(
-        "_hit",
-        F.when(F.col("bitmap").isNull(), F.lit(False)).otherwise(
-            probe_udf()(F.col("surt"), F.col("bitmap"), F.col("m_bits"))
-        ),
-    )
-    keys = [col for col in candidates.columns]
-    agg = (
-        j.groupBy(*keys)
-        .agg(F.max(F.col("_hit").cast("int")).alias("_maybe"))
-    )
-    definitely_new = agg.filter(F.col("_maybe") == 0).drop("_maybe")
-    maybe_seen = agg.filter(F.col("_maybe") == 1).drop("_maybe")
+    probed = probe_bloom(candidates, bloom_df, num_buckets)
+    definitely_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+    maybe_seen = probed.filter(F.col("_maybe")).drop("_maybe")
     return definitely_new, maybe_seen

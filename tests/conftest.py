@@ -16,7 +16,10 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "8g")
+        # many engine runs share this session; reclaim shuffle/broadcast
+        # state promptly instead of at the default 30min cleaner tick
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )

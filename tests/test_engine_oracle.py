@@ -142,6 +142,47 @@ def test_tiny_equality_salted_no_bloom(spark, tiny_web, tmp_path):
     assert_engine_matches_oracle(engine, simulate(tiny_web, CFG))
 
 
+def test_tiny_equality_lean_mode(spark, tiny_web, tmp_path):
+    """lean=True (bench mode) skips metrics-only count jobs but must not
+    change any crawl decision: order, seen set, content, redirects all
+    bit-identical to the oracle; loop control (frontier exhaustion,
+    global page cap) driven by lineage counts instead of count() jobs."""
+    from cocrawler_spark.sources.corpus import (
+        read_documents, read_robots_src, read_seed_parquet,
+    )
+    from cocrawler_spark.synth import write_parquet
+
+    cfg = CFG.with_(max_pages=13)
+    paths = write_parquet(tiny_web, str(tmp_path / "web"))
+    engine = CrawlEngine(
+        spark, cfg,
+        documents=read_documents(spark, paths["documents"]),
+        robots_src=read_robots_src(spark, paths["robots_src"]),
+        seeds=read_seed_parquet(spark, paths["seeds"]),
+        state_dir=str(tmp_path / "state"),
+        lean=True,
+    )
+    engine.run()
+    res = simulate(tiny_web, cfg)
+    got_order = sorted(
+        (r["wave"], r["seq"], r["surt"], r["url"])
+        for r in engine.output("crawl_order").collect()
+    )
+    assert got_order == sorted(res.crawl_order)
+    assert {r["surt"] for r in engine.seen.collect()} == res.seen
+    assert engine.seen_total == len(res.seen)
+    got_fetched = sorted(
+        (r["wave"], r["url"], r["surt"], r["status"], r["sha1"], r["n_spans"])
+        for r in engine.output("fetched_content").collect()
+    )
+    assert got_fetched == sorted(res.fetched)
+    got_rd = sorted(
+        (r["wave"], r["from_url"], r["from_surt"], r["to_url"], r["to_surt"], r["kind"])
+        for r in engine.output("redirects").collect()
+    )
+    assert got_rd == sorted(res.redirects)
+
+
 def test_rollback_resume(spark, tiny_web, tmp_path):
     """Roll back to wave 1's snapshot and re-run: stale deltas from the
     abandoned waves must not leak into state (bit-identical result)."""

@@ -39,12 +39,17 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
     )
     from cocrawler_spark.synth import generate_parquet
 
+    # Partitioning is a property of the DATA and stays fixed across the
+    # two runs; the executor-thread count is the only variable — exactly
+    # how a real N-vs-4N-executor comparison holds partitioning constant.
+    # (Scaling partitions with cores made the small-task overhead grow
+    # 4x at local[32] and poisoned the earlier measurement.)
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"scaling-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "20g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -72,6 +77,7 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         seeds=read_seed_parquet(spark, paths["seeds"]),
         state_dir=state,
         politeness_salt=16,
+        lean=True,
     )
     per_wave = []
     t0 = time.time()
@@ -97,6 +103,7 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
     sec = sum(p["sec"] for p in tail)
     return {
         "cpus": cpus,
+        "prof": eng.prof if eng.profile else None,
         "per_wave": per_wave,
         "total_urls": total_fetched,
         "total_sec": round(total_sec, 2),
@@ -115,7 +122,7 @@ def run_level_subprocess(cpus: int, size: str, waves: int) -> dict:
     cmd = [
         submit,
         "--master", f"local[{cpus}]",
-        "--driver-memory", "20g",
+        "--driver-memory", "32g",
         os.path.join(REPO, "tools", "bench_scaling.py"),
         "--single", str(cpus), size, str(waves), out,
     ]
@@ -199,8 +206,8 @@ def main():
         with open(out, "w") as f:
             json.dump(res, f)
         return
-    size = sys.argv[1] if len(sys.argv) > 1 else "bench"
-    waves = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    size = sys.argv[1] if len(sys.argv) > 1 else "large"
+    waves = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     r8 = run_level_subprocess(8, size, waves)
     r32 = run_level_subprocess(32, size, waves)
     write_report(size, waves, r8, r32)
