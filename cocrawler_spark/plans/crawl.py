@@ -78,6 +78,7 @@ class CrawlEngine:
         bloom_compact_every: int = 4,
         politeness_salt: int = 0,
         lean: bool = False,
+        broadcast_fetch: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -88,6 +89,7 @@ class CrawlEngine:
         self.bloom_buckets = bloom_buckets
         self.bloom_compact_every = bloom_compact_every
         self.politeness_salt = politeness_salt
+        self.broadcast_fetch = broadcast_fetch
         # lean mode: skip metrics-only collect jobs; control-flow counts
         # come from the lineage row counts the staged writes compute
         # anyway (async, off the driver's critical path). Used by the
@@ -225,21 +227,31 @@ class CrawlEngine:
             probed = self._persist(
                 probe_bloom(deduped, self.bloom, self.bloom_buckets)
             )
+            # Materialization barrier. `probed` caps the wave's most
+            # expensive chain (canonicalize 10^7 links → dedup window →
+            # bloom cogroup). Without an eager action, every dependent
+            # job — the seen/bloom/frontier writes AND the two union
+            # branches below — races to compute it concurrently (Spark
+            # does not dedup in-flight computation of a cached plan),
+            # multiplying the dominant CPU cost by the number of
+            # concurrent consumers. One count() serializes it to
+            # exactly-once; everything downstream rides the cache.
+            dd = probed.count()
             sure_new = probed.filter(~F.col("_maybe")).drop("_maybe")
             maybe_seen = probed.filter(F.col("_maybe")).drop("_maybe")
             checked = self._anti_seen(maybe_seen)
             new_rows = sure_new.select(*out_cols).unionByName(checked.select(*out_cols))
         else:
+            deduped = self._persist(deduped)
+            dd = deduped.count()
             new_rows = self._anti_seen(deduped)
         new_rows = self._persist(new_rows.select(*out_cols))
-        if self.lean:
-            new_count = None  # read from the seen delta's lineage at commit
-        else:
-            new_count = new_rows.count()
-            dd = deduped.count()
+        # cheap now (filters + broadcast anti-join over the cached barrier)
+        new_count = new_rows.count()
+        if not self.lean:
             self._metric(wave, "wave_dup_dropped", kept_count - dd)
             self._metric(wave, "seen_dup_dropped", dd - new_count)
-            self.seen_total += new_count
+        self.seen_total += new_count
 
         self._stage_async(
             "seen", new_rows.select("surt"), wave, mode="delta", lineage=True
@@ -350,13 +362,7 @@ class CrawlEngine:
         self._base_manifest = self.catalog.commit(
             0, {"total_fetched": 0, "done": False}, base={"tables": {}}
         )
-        self.frontier_count = (
-            self._base_manifest["tables"]["frontier"]["rows"]
-            if n_new is None
-            else n_new
-        )
-        if self.lean:
-            self.seen_total = self._base_manifest["tables"]["seen"].get("rows", 0)
+        self.frontier_count = n_new
         self._refresh_state_after_writes(0)
         self._unpersist_all()
         self.frontier = results["frontier"]
@@ -482,8 +488,37 @@ class CrawlEngine:
         # status, sha1, n_spans, outlinks — and dropped BEFORE the
         # persist: caching page bodies would cost GBs per wave at bench
         # scale and re-reading them per consumer would re-run the join.
+        #
+        # Physical strategy: the wave's fetchable slice is small next to
+        # the corpus, but a LEFT OUTER join can only broadcast its
+        # non-preserved side — which here is the corpus. So the left
+        # join is decomposed into (a) an INNER join that STREAMS the
+        # corpus scan against the broadcast fetchable slice (no shuffle
+        # of page bodies, ever) and (b) a broadcast anti-join against
+        # the pruned doc_id column for the 404 misses. At 10^10-doc
+        # scale with frontier slices too big to broadcast, flip
+        # broadcast_fetch=False to fall back to the shuffle join (real
+        # clusters: storage-partitioned join on host_bucket).
         docs = self.documents
-        fx = fetchable.join(docs, fetchable["url"] == docs["doc_id"], "left")
+        if self.broadcast_fetch:
+            spans_t = docs.schema["spans"].dataType
+            fcols = [*FRONTIER_COLS, "rand", "seq"]
+            matched = docs.join(
+                F.broadcast(fetchable), docs["doc_id"] == fetchable["url"], "inner"
+            ).select(*fcols, "doc_id", "spans")
+            missed = (
+                fetchable.join(
+                    F.broadcast(docs.select("doc_id")),
+                    fetchable["url"] == docs["doc_id"],
+                    "left_anti",
+                )
+                .withColumn("doc_id", F.lit(None).cast("string"))
+                .withColumn("spans", F.lit(None).cast(spans_t))
+                .select(*fcols, "doc_id", "spans")
+            )
+            fx = matched.unionByName(missed)
+        else:
+            fx = fetchable.join(docs, fetchable["url"] == docs["doc_id"], "left")
         fx = fx.withColumn("_redirect_tgt", redirect_target_col(F.col("spans"))).withColumn(
             "status",
             F.when(
@@ -511,12 +546,11 @@ class CrawlEngine:
         )
         fx = self._persist(fx)
 
-        fetched_content = fx.select(
-            F.lit(wave).alias("wave"), "url", "surt", "status", "sha1", "n_spans"
-        )
-        self._stage_async("fetched_content", fetched_content, wave, mode="delta")
-
-        # one pass for status counts + retry counts + depth watermark
+        # one pass for status counts + retry counts + depth watermark.
+        # This blocking collect doubles as the materialization barrier
+        # for fx (the spans-distill pass): it MUST run before any async
+        # write that consumes fx, or those jobs race to re-run the
+        # distill concurrently (see the barrier note in _add_candidates).
         srows = fx.groupBy("status").agg(
             F.count("*").alias("cnt"),
             F.sum(
@@ -525,6 +559,10 @@ class CrawlEngine:
             F.max("depth").alias("maxd"),
         ).collect()
         t = self._ckpt(wave, "fetch+distill", t)
+        fetched_content = fx.select(
+            F.lit(wave).alias("wave"), "url", "surt", "status", "sha1", "n_spans"
+        )
+        self._stage_async("fetched_content", fetched_content, wave, mode="delta")
         status_counts = {r["status"]: r["cnt"] for r in srows}
         pages = sum(status_counts.values())
         maxd = max([r["maxd"] for r in srows], default=0)
@@ -655,12 +693,10 @@ class CrawlEngine:
         t = time.time()
         results = self._join_writes()
         t = self._ckpt(wave, "join_writes", t)
-        if self.lean:
-            # lean mode derives counts from the lineage the staged
-            # writes computed (no dedicated count jobs ran this wave)
-            self.seen_total += self.catalog._pending["seen"].get("rows", 0)
-            if n_next is None:
-                n_next = self.catalog._pending["frontier"].get("rows", 0)
+        if n_next is None:
+            # lean mode: deferred-count never collected; the staged
+            # frontier's lineage row count (computed anyway) supplies it
+            n_next = self.catalog._pending["frontier"].get("rows", 0)
         self._base_manifest = self.catalog.commit(
             wave,
             {

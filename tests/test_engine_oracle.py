@@ -121,8 +121,9 @@ def test_resume_equals_uninterrupted(spark, tiny_web, tmp_path):
 
 
 def test_tiny_equality_salted_no_bloom(spark, tiny_web, tmp_path):
-    """Engine variants (salted politeness rank, bloom off) are pure
-    physical-plan choices — oracle equality must be bit-identical."""
+    """Engine variants (salted politeness rank, bloom off, shuffle
+    fetch join) are pure physical-plan choices — oracle equality must
+    be bit-identical."""
     from cocrawler_spark.sources.corpus import (
         read_documents, read_robots_src, read_seed_parquet,
     )
@@ -137,6 +138,7 @@ def test_tiny_equality_salted_no_bloom(spark, tiny_web, tmp_path):
         state_dir=str(tmp_path / "state"),
         use_bloom=False,
         politeness_salt=8,
+        broadcast_fetch=False,
     )
     engine.run()
     assert_engine_matches_oracle(engine, simulate(tiny_web, CFG))

@@ -119,10 +119,18 @@ def run_level_subprocess(cpus: int, size: str, waves: int) -> dict:
     if os.path.exists(out):
         os.remove(out)
     submit = shutil.which("spark-submit") or "spark-submit"
-    cmd = [
+    cmd = []
+    if shutil.which("taskset"):
+        # Pin the whole process tree (JVM task slots, GC/IO threads,
+        # python UDF workers) to exactly `cpus` CPUs — an unpinned
+        # local[8] JVM happily uses 12-16 cores via GC + python
+        # daemons, inflating the small-cluster baseline. This makes
+        # the run an honest "N cores vs 4N cores" comparison.
+        cmd += ["taskset", "-c", f"0-{cpus - 1}"]
+    cmd += [
         submit,
         "--master", f"local[{cpus}]",
-        "--driver-memory", "32g",
+        "--driver-memory", "64g",
         os.path.join(REPO, "tools", "bench_scaling.py"),
         "--single", str(cpus), size, str(waves), out,
     ]
