@@ -183,9 +183,13 @@ class CrawlEngine:
             .when(is_private_host_udf()(F.col("host")), "private_dropped")
             .when(F.col("depth") > F.lit(cfg.max_depth), "depth_dropped"),
         )
-        c = self._persist(c)
+        # In lean mode `c` (the full canonicalized candidate set — the
+        # wave's widest intermediate, ~GBs) has exactly one consumer, so
+        # caching it only evicts blocks other stages still need; persist
+        # it only when the metrics collect below will re-read it.
         kept_count = 0
         if not self.lean:
+            c = self._persist(c)
             reasons = {
                 r["drop_reason"]: r["cnt"]
                 for r in c.groupBy("drop_reason").agg(F.count("*").alias("cnt")).collect()
@@ -201,12 +205,35 @@ class CrawlEngine:
                 F.when(F.col("query") != "", F.concat(F.lit("?"), F.col("query"))).otherwise(F.lit("")),
             ),
         )
-        # within-wave dedup: min (priority, depth, via, url, is_seed) per surt
-        w = Window.partitionBy("surt").orderBy("priority", "depth", "via", "url", "is_seed")
+        # within-wave dedup: min (priority, depth, via, url, is_seed) per
+        # surt. Expressed as a hash aggregation, NOT a window: min(struct)
+        # gets map-side partial aggregation (candidate link lists are
+        # ~30x duplicated within a wave, so most rows collapse before
+        # the shuffle) and needs no sort. host/path ride behind the
+        # ordering keys in the struct; they are functions of url, so
+        # they never influence which row wins (ties on the 5 ordering
+        # keys are bit-identical rows). Winner identical to
+        # row_number()=1 over (partition by surt order by the 5 keys) —
+        # the oracle's rule (simulator.py add_url).
         deduped = (
-            kept.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            kept.groupBy("surt")
+            .agg(
+                F.min(
+                    F.struct(
+                        "priority", "depth", "via", "url", "is_seed", "host", "path"
+                    )
+                ).alias("_w")
+            )
+            .select(
+                "surt",
+                F.col("_w.priority").alias("priority"),
+                F.col("_w.depth").alias("depth"),
+                F.col("_w.via").alias("via"),
+                F.col("_w.url").alias("url"),
+                F.col("_w.is_seed").alias("is_seed"),
+                F.col("_w.host").alias("host"),
+                F.col("_w.path").alias("path"),
+            )
         )
         # seen anti-membership. With the bloom sidecar, candidates whose
         # bucket bloom probes NEGATIVE are definitely unseen and bypass
@@ -290,17 +317,16 @@ class CrawlEngine:
     def _anti_seen(self, cand: DataFrame) -> DataFrame:
         """cand rows whose surt is NOT in the seen table.
 
-        A plain left_anti would shuffle the (ever-growing) seen table
-        every wave. Instead: semi-join seen against the broadcast
-        candidate surts (scans seen, shuffles nothing) → a small `hits`
-        set → anti-join candidates against broadcast hits. At 10^10,
-        pair this with host_bucket-partitioned seen storage so the scan
-        prunes to candidate buckets; the bloom prefilter has already
-        removed the definitely-new majority."""
-        hits = self.seen.join(
-            F.broadcast(cand.select("surt")), "surt", "left_semi"
-        )
-        return cand.join(F.broadcast(hits), "surt", "left_anti")
+        Plain left_anti, strategy left to AQE: while `seen` is small it
+        becomes a broadcast anti-join; once it grows, a shuffle
+        anti-join — which parallelizes, unlike a driver-built broadcast
+        of a million-row candidate set (measured: the double-broadcast
+        trick this replaces serialized ~minutes of driver time per
+        late wave at 2M-doc scale). The bloom prefilter has already
+        removed the definitely-new majority, so only probable-dups
+        shuffle here; at 10^10, host_bucket-partitioned seen storage
+        turns this into a storage-partitioned join."""
+        return cand.join(self.seen, "surt", "left_anti")
 
     def _table_dirs(self, name: str, up_to_wave: int) -> list[str]:
         """Delta dirs of `name` with wave number ≤ up_to_wave — directory
@@ -489,37 +515,42 @@ class CrawlEngine:
         # persist: caching page bodies would cost GBs per wave at bench
         # scale and re-reading them per consumer would re-run the join.
         #
-        # Physical strategy: the wave's fetchable slice is small next to
-        # the corpus, but a LEFT OUTER join can only broadcast its
-        # non-preserved side — which here is the corpus. So the left
-        # join is decomposed into (a) an INNER join that STREAMS the
-        # corpus scan against the broadcast fetchable slice (no shuffle
-        # of page bodies, ever) and (b) a broadcast anti-join against
-        # the pruned doc_id column for the 404 misses. At 10^10-doc
-        # scale with frontier slices too big to broadcast, flip
-        # broadcast_fetch=False to fall back to the shuffle join (real
-        # clusters: storage-partitioned join on host_bucket).
+        # Physical strategy: page bodies must never shuffle. A LEFT
+        # OUTER join can only broadcast its non-preserved side (the
+        # corpus), so instead: (a) LEFT SEMI join streaming the corpus
+        # scan against a broadcast of just the fetchable URL column
+        # (one slim string column — driver build stays cheap even at
+        # 10^6-URL waves), (b) distill spans -> (sha1, n_spans,
+        # outlinks, redirect) right on top of the streamed scan, then
+        # (c) a small shuffle LEFT join attaches the distillate to the
+        # frontier slice (misses = 404s fall out as NULL doc_id).
+        # broadcast_fetch=False falls back to a full shuffle left join
+        # (real clusters: storage-partitioned join on host_bucket).
         docs = self.documents
         if self.broadcast_fetch:
-            spans_t = docs.schema["spans"].dataType
-            fcols = [*FRONTIER_COLS, "rand", "seq"]
+            urls = fetchable.select(F.col("url").alias("_fu"))
             matched = docs.join(
-                F.broadcast(fetchable), docs["doc_id"] == fetchable["url"], "inner"
-            ).select(*fcols, "doc_id", "spans")
-            missed = (
-                fetchable.join(
-                    F.broadcast(docs.select("doc_id")),
-                    fetchable["url"] == docs["doc_id"],
-                    "left_anti",
-                )
-                .withColumn("doc_id", F.lit(None).cast("string"))
-                .withColumn("spans", F.lit(None).cast(spans_t))
-                .select(*fcols, "doc_id", "spans")
+                F.broadcast(urls), docs["doc_id"] == F.col("_fu"), "left_semi"
             )
-            fx = matched.unionByName(missed)
+            distilled = matched.select(
+                "doc_id",
+                redirect_target_col(F.col("spans")).alias("_redirect_tgt"),
+                content_sha1_col(F.col("spans")).alias("_sha1_raw"),
+                F.size(F.col("spans")).cast("int").alias("_n_spans_raw"),
+                extract_outlinks_udf()(F.col("spans")).alias("outlinks"),
+            )
+            fx = fetchable.join(
+                distilled, fetchable["url"] == distilled["doc_id"], "left"
+            )
         else:
             fx = fetchable.join(docs, fetchable["url"] == docs["doc_id"], "left")
-        fx = fx.withColumn("_redirect_tgt", redirect_target_col(F.col("spans"))).withColumn(
+            fx = (
+                fx.withColumn("_redirect_tgt", redirect_target_col(F.col("spans")))
+                .withColumn("_sha1_raw", content_sha1_col(F.col("spans")))
+                .withColumn("_n_spans_raw", F.size(F.col("spans")).cast("int"))
+                .withColumn("outlinks", extract_outlinks_udf()(F.col("spans")))
+            )
+        fx = fx.withColumn(
             "status",
             F.when(
                 is_flaky_col(F.col("url"), cfg.flaky_mod) & (F.col("tries") == 0),
@@ -535,14 +566,12 @@ class CrawlEngine:
             "doc_id",
             "_redirect_tgt",
             "status",
-            F.when(has_body, content_sha1_col(F.col("spans")))
-            .otherwise(F.lit(""))
-            .alias("sha1"),
-            F.when(has_body, F.size(F.col("spans")))
+            F.when(has_body, F.col("_sha1_raw")).otherwise(F.lit("")).alias("sha1"),
+            F.when(has_body, F.col("_n_spans_raw"))
             .otherwise(F.lit(0))
             .cast("int")
             .alias("n_spans"),
-            extract_outlinks_udf()(F.col("spans")).alias("outlinks"),
+            "outlinks",
         )
         fx = self._persist(fx)
 
@@ -658,8 +687,9 @@ class CrawlEngine:
             F.lit(False).alias("is_seed"),
             F.col("l.kind").alias("via"),
         )
-        link_cands = self._persist(link_cands)
+        # same single-consumer rule as `c` in _add_candidates
         if not self.lean:
+            link_cands = self._persist(link_cands)
             kinds = {
                 r["via"]: r["cnt"]
                 for r in link_cands.groupBy("via").agg(F.count("*").alias("cnt")).collect()
