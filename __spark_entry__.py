@@ -41,11 +41,16 @@ from cocrawler_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from cocrawler_spark.functions.domains import SUFFIXES as _SUFFIXES
+from cocrawler_spark.functions.domains import registered_domain_udf
+from cocrawler_spark.operators.dedup import simhash_candidates
+from cocrawler_spark.operators.ordering import with_global_seq
 from cocrawler_spark.operators.redirects import special_redirect_col
 from cocrawler_spark.operators.similarity import (
     cosine_topk_bruteforce,
     embedding_neardup_pairs,
     lsh_ann_topk,
+    lsh_bucket_sql,
 )
 
 
@@ -63,9 +68,10 @@ def _frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     rand = md5-keyed tiebreaker, per-host politeness slot via window,
     global (priority, rand, url) order → top 200 fetchable.
 
-    (The engine-internal version of the global order is the scalable
-    range-partitioned rank in operators/ordering.py; a plain window is
-    fine at oracle scale.)"""
+    The global order is the engine's scalable range-partitioned rank
+    (operators/ordering.py: sampled range exchange + per-partition local
+    ranks + driver offset composition) — NOT a single-partition
+    Window.orderBy; the flagship plan contains no global-window sort."""
     d = _t(spark, sf_dir, "documents")
     f = d.select(
         F.col("doc_id"),
@@ -79,10 +85,11 @@ def _frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = f.withColumn("rn", F.row_number().over(wh)).withColumn(
         "slot", (F.col("rn") - 1) * F.lit(1.0)
     ).filter(F.col("slot") < 8.0)
-    wg = Window.orderBy("priority", "rand", "url")
+    # persisted intermediate lives until session teardown (one small
+    # politeness-filtered slice per call; the driver runs each query once)
+    f = with_global_seq(f, ["priority", "rand", "url"], seq_col="seq")
     return (
-        f.withColumn("seq", F.row_number().over(wg))
-        .filter(F.col("seq") <= 200)
+        f.filter(F.col("seq") <= 200)
         .select("seq", "doc_id", "url", "host", "priority", "rand", "rn", "slot")
     )
 
@@ -398,15 +405,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_signatures"] = dedup_minhash_signatures
 
     def dedup_minhash_lsh_pairs(spark, sf):
+        # defaults = the hardened scale path: exact-dup pre-collapse +
+        # bucket-size cap (both mirrored in the oracle SQL)
         return minhash_lsh_pairs(
-            _t(spark, sf, "documents"), "text", "doc_id", k=8, bands=4
+            _t(spark, sf, "documents"), "text", "doc_id", k=8, bands=4,
+            precollapse=True, max_bucket=1024,
         )
 
     q["dedup_minhash_lsh_pairs"] = dedup_minhash_lsh_pairs
 
     def dedup_ngram_jaccard(spark, sf):
+        # max_df: hot-shingle document-frequency cap (mirrored in oracle)
         return ngram_jaccard_pairs(
-            _t(spark, sf, "documents"), "text", "doc_id", shingle_n=3, threshold=0.2
+            _t(spark, sf, "documents"), "text", "doc_id", shingle_n=3,
+            threshold=0.2, max_df=256,
         )
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
@@ -415,6 +427,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_fingerprints(_t(spark, sf, "documents"), "text", "doc_id", bits=16)
 
     q["dedup_simhash"] = dedup_simhash
+
+    def dedup_simhash64(spark, sf):
+        return simhash_fingerprints(_t(spark, sf, "documents"), "text", "doc_id", bits=64)
+
+    q["dedup_simhash64"] = dedup_simhash64
+
+    def dedup_simhash_candidates(spark, sf):
+        return simhash_candidates(
+            _t(spark, sf, "documents"), "text", "doc_id",
+            bits=64, band_bits=16, precollapse=True, max_bucket=1024,
+        )
+
+    q["dedup_simhash_candidates"] = dedup_simhash_candidates
 
     # --- training-data ops: text analysis --------------------------------------
     def text_token_count(spark, sf):
@@ -468,10 +493,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_bucketed"] = ann_lsh
 
     def dedup_embedding_neardup(spark, sf):
+        # default = scale path: LSH bucket equi-join, no cross product
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
-        return embedding_neardup_pairs(emb, threshold=0.3, round_to=4)
+        return embedding_neardup_pairs(emb, threshold=0.3, round_to=4, n_planes=6)
 
     q["dedup_embedding_neardup"] = dedup_embedding_neardup
+
+    def dedup_embedding_neardup_exact(spark, sf):
+        # brute-force O(n²) correctness baseline, explicit opt-in only
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+        return embedding_neardup_pairs(emb, threshold=0.3, round_to=4, exact=True)
+
+    q["dedup_embedding_neardup_exact"] = dedup_embedding_neardup_exact
 
     def text_token_bpeish(spark, sf):
         d = _t(spark, sf, "documents")
@@ -482,6 +515,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["text_token_bpeish"] = text_token_bpeish
+
+    # --- registered-domain (eTLD+1) longest-suffix match (SURVEY §2c/§2e) ----
+    def per_domain_topk(spark, sf):
+        """Hosts spanning 1-label and 2-label public suffixes plus a deep
+        subdomain prefix — exercises the longest-match rule end-to-end,
+        then a per-domain rollup (the frontier's per-domain stats shape)."""
+        e = _t(spark, sf, "events")
+        suffix = F.element_at(
+            F.array(F.lit("test"), F.lit("co.uk"), F.lit("com"), F.lit("example")),
+            ((F.col("event_id") % 4) + 1).cast("int"),
+        )
+        sub = F.when(F.col("event_id") % 2 == 0, F.lit("deep.sub.")).otherwise(F.lit(""))
+        host = F.concat(
+            sub, F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit("."), suffix
+        )
+        dom = registered_domain_udf()(host)
+        return (
+            e.select(dom.alias("domain"))
+            .groupBy("domain")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("domain"))
+            .limit(25)
+        )
+
+    q["per_domain_topk"] = per_domain_topk
 
     return q
 
@@ -698,21 +756,34 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1"""
         f"FROM sigs"
         for b in range(4)
     )
+    # mirrors the Spark defaults: exact-dup pre-collapse (min-id
+    # representative per md5(text)) + bucket-size cap at 1024
     s["dedup_minhash_lsh_pairs"] = f"""
-WITH {_SHINGLES_CTE},
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents GROUP BY md5(text)
+),
+{_SHINGLES_CTE.replace("FROM documents", "FROM reps")},
 sigs AS (SELECT doc_id AS id, {sig_exprs} FROM sh GROUP BY doc_id),
-banded AS ({band_selects})
+banded AS ({band_selects}),
+bsz AS (SELECT band, bkey, COUNT(*) AS n FROM banded GROUP BY band, bkey),
+ok AS (SELECT band, bkey FROM bsz WHERE n > 1 AND n <= 1024),
+kept AS (SELECT banded.* FROM banded JOIN ok USING (band, bkey))
 SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS band_hits
-FROM banded a JOIN banded b
+FROM kept a JOIN kept b
   ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
 GROUP BY a.id, b.id"""
 
+    # mirrors max_df=256: hot shingles removed before sizes AND the join
     s["dedup_ngram_jaccard"] = f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+shc AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh)
+  WHERE df <= 256),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id)
 SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
        ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
@@ -729,6 +800,54 @@ WITH tok AS (SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS tk FR
 hashed AS (SELECT doc_id, {md5_hash64_sql('tk')} AS th FROM tok),
 bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
 SELECT doc_id AS id, CAST({fp_expr} AS BIGINT) AS simhash FROM bits"""
+
+    # 64-bit simhash: bits 0..59 from th, 60..63 from the salted high
+    # hash; bit 63 encoded by adding the (negative) sign-bit constant —
+    # 2^63 overflows signed BIGINT in both engines
+    def _bit_sum64(b: int) -> str:
+        if b < 60:
+            return f"SUM(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        return (
+            f"SUM(CASE WHEN (th_hi >> {b - 60}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        )
+
+    bit_sums64 = ", ".join(_bit_sum64(b) for b in range(64))
+    fp64_terms = [
+        f"(CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(63)
+    ] + ["(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"]
+    fp64 = " + ".join(fp64_terms)
+    _SIMHASH64_CTES = f"""
+tok AS (SELECT doc_id, unnest(list_distinct({tokens_sql('text')})) AS tk FROM {{src}}),
+hashed AS (SELECT doc_id, {md5_hash64_sql('tk')} AS th,
+           {md5_hash64_sql("'hi:' || tk")} AS th_hi FROM tok),
+bits AS (SELECT doc_id, {bit_sums64} FROM hashed GROUP BY doc_id),
+fps AS (SELECT doc_id AS id, CAST({fp64} AS BIGINT) AS simhash FROM bits)"""
+
+    s["dedup_simhash64"] = f"""
+WITH {_SIMHASH64_CTES.format(src='documents')}
+SELECT id, simhash FROM fps"""
+
+    band64 = " UNION ALL ".join(
+        f"SELECT id, simhash, {i} AS band, ((simhash >> {i * 16}) & 65535) AS bkey FROM fps"
+        for i in range(4)
+    )
+    s["dedup_simhash_candidates"] = f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents GROUP BY md5(text)
+),
+{_SIMHASH64_CTES.format(src='reps')},
+banded AS ({band64}),
+bsz AS (SELECT band, bkey, COUNT(*) AS n FROM banded GROUP BY band, bkey),
+ok AS (SELECT band, bkey FROM bsz WHERE n > 1 AND n <= 1024),
+kept AS (SELECT banded.* FROM banded JOIN ok USING (band, bkey)),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+SELECT id_a, id_b, sh_a, sh_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM pairs"""
 
     s["text_token_count"] = (
         f"SELECT doc_id, CAST(len({tokens_sql('text')}) AS INT) AS n_tokens FROM documents"
@@ -759,7 +878,19 @@ SELECT doc_id,
   list_min(list_transform(range(1, greatest(len(t) - 2, 1) + 1), i -> {fp_inner})) AS fp
 FROM tok"""
 
-    s["dedup_embedding_neardup"] = """
+    # default path: LSH bucket equi-join (n_planes=6), mirroring the
+    # deterministic md5-derived hyperplanes of lsh_bucket_col
+    s["dedup_embedding_neardup"] = f"""
+WITH e AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding', 6)} AS bucket
+           FROM embeddings WHERE vec_id < 150)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.3"""
+
+    s["dedup_embedding_neardup_exact"] = """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -787,5 +918,46 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", cosine
 FROM ranked WHERE "rank" <= 5"""
+
+    # LSH-bucketed ANN: same deterministic md5-derived hyperplanes as
+    # operators/similarity.lsh_bucket_col (n_planes=4), candidates only
+    # within the query's bucket, then exact cosine ranking
+    s["ann_lsh_bucketed"] = f"""
+WITH e AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding', 4)} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS "rank",
+         ROUND(cos, 4) AS cosine
+  FROM scored)
+SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", cosine
+FROM ranked WHERE "rank" <= 5"""
+
+    suf1 = ", ".join(f"'{x}'" for x in sorted(s_ for s_ in _SUFFIXES if "." not in s_))
+    suf2 = ", ".join(f"'{x}'" for x in sorted(s_ for s_ in _SUFFIXES if "." in s_))
+    s["per_domain_topk"] = f"""
+WITH h AS (
+  SELECT (CASE WHEN event_id % 2 = 0 THEN 'deep.sub.' ELSE '' END)
+         || 'h' || CAST(user_id % 20 AS VARCHAR) || '.'
+         || (['test','co.uk','com','example'])[CAST(event_id % 4 AS INT) + 1] AS host
+  FROM events
+), lab AS (SELECT host, string_split(lower(host), '.') AS ls FROM h),
+dom AS (
+  SELECT CASE
+    WHEN len(ls) < 2 THEN lower(host)
+    WHEN len(ls) > 2 AND array_to_string(ls[-2:], '.') IN ({suf2})
+      THEN array_to_string(ls[-3:], '.')
+    WHEN len(ls) > 1 AND ls[-1] IN ({suf1})
+      THEN array_to_string(ls[-2:], '.')
+    ELSE array_to_string(ls[-2:], '.') END AS domain
+  FROM lab)
+SELECT domain, COUNT(*) AS n FROM dom GROUP BY domain
+ORDER BY n DESC, domain ASC LIMIT 25"""
 
     return s

@@ -31,7 +31,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from .urls import clean_link
+from .urls import clean_link, clean_link_col
 
 # anchors in text spans carry explicit markup: <a href="...">
 _HREF_RE = re.compile(r'href\s*=\s*"([^"]*)"')
@@ -156,7 +156,7 @@ def redirect_target_col(spans: Column) -> Column:
     first = spans_sorted_col(spans)[0]
     return F.when(
         (F.size(spans) == 1) & (first["kind"] == F.lit("redirect")),
-        F.trim(first["text"]),
+        clean_link_col(F.coalesce(first["text"], F.lit(""))),
     ).otherwise(F.lit(None).cast("string"))
 
 

@@ -59,6 +59,20 @@ def clean_link(raw: str) -> str:
     return s.replace("\n", "").replace("\r", "").replace("\t", "")
 
 
+# Java-regex twins of _STRIP_CHARS for the JVM-side clean (kept next to
+# clean_link so the two stay in sync; parity pinned in tests/test_urls.py).
+_STRIP_CLASS_RE = "[ \\t\\r\\n\"'\\\\]"
+
+
+def clean_link_col(c):
+    """JVM-side equivalent of clean_link (whole-stage codegen, no UDF):
+    strip _STRIP_CHARS runs at both ends, then drop internal \\n \\r \\t."""
+    s = F.regexp_replace(
+        c, f"^{_STRIP_CLASS_RE}+|{_STRIP_CLASS_RE}+$", ""
+    )
+    return F.regexp_replace(s, "[\\n\\r\\t]", "")
+
+
 import re
 
 _PCT_RE = re.compile("%([0-9a-fA-F]{2})")
@@ -80,6 +94,44 @@ def _normalize_pct(component: str) -> str:
         return "%" + m.group(1).upper()
 
     return _PCT_RE.sub(fix, component)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 remove_dot_segments, applied to the path string
+    directly.  urljoin is deliberately NOT used here: a path beginning
+    with ``//`` would be parsed as a network-path reference and the
+    dot-segment collapse would silently be skipped (the r1 idempotence
+    bug on ``http://a.a0//0/.``)."""
+    inp = path
+    out: list[str] = []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            i = inp.find("/", 1) if inp.startswith("/") else inp.find("/")
+            if i == -1:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:i])
+                inp = inp[i:]
+    return "".join(out)
 
 
 def _idna_host(host: str) -> str:
@@ -151,10 +203,11 @@ def canonicalize_one(raw: str, base: Optional[str] = None) -> CanonUrl:
     path = _normalize_pct(parts.path)
     if not path:
         path = "/"
-    # dot-segment resolution for absolute URLs (urljoin already handled
-    # the relative case); resolve against self to collapse ./ and ../
-    if "/./" in path or "/../" in path or path.endswith(("/.", "/..")):
-        path = urlsplit(urljoin(f"{scheme}://{netloc}/", path)).path or "/"
+    # dot-segment resolution per RFC 3986 §5.2.4; done on the string so
+    # paths with empty segments ("//0/.") collapse correctly (urljoin
+    # treats them as network-path references and skips the collapse).
+    if "." in path:
+        path = _remove_dot_segments(path) or "/"
     query = _normalize_pct(parts.query)
     url = f"{scheme}://{netloc}{path}"
     if query:

@@ -21,6 +21,8 @@ operator has an exact DuckDB twin for the driver's correctness oracle.
 
 from __future__ import annotations
 
+from typing import Callable, Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -45,6 +47,24 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the min-id representative of each distinct text."""
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def _exact_representatives(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, text) with byte-identical texts collapsed to the min-id
+    representative — one hash groupBy (map-side combine), equivalent to
+    exact_dedup but shaped for the near-dup pipelines.
+
+    This is the mega-bucket guard: at web scale, boilerplate-identical
+    docs share *every* LSH band; collapsing them first turns a
+    b²-pair bucket into one member per distinct text."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("_th"))
+        .agg(
+            F.min(F.col(id_col)).alias("id"),
+            F.first(F.col(text_col)).alias("_text"),
+        )
+        .select("id", F.col("_text").alias(text_col))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -90,10 +110,25 @@ def minhash_lsh_pairs(
     k: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    precollapse: bool = True,
+    max_bucket: Optional[int] = 1024,
+    log_fn: Optional[Callable[[str], None]] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, band_hits): docs sharing at
-    least one LSH band. rows/bands ratio sets the similarity knee."""
+    least one LSH band. rows/bands ratio sets the similarity knee.
+
+    Mega-bucket hardening for the 100 TB path:
+    - ``precollapse``: byte-identical texts are collapsed to their min-id
+      representative first (exact dups share every band — at web scale a
+      boilerplate cluster would put O(b²) pairs in one task otherwise).
+    - ``max_bucket``: buckets larger than this emit no pairs — these are
+      degenerate boilerplate families, not near-dup signal. NOT silent:
+      pass ``log_fn`` (e.g. ``print``) to count and report dropped
+      buckets (costs one extra aggregate action, so it is opt-in)."""
     rows_per_band = k // bands
+    if precollapse:
+        df = _exact_representatives(df, text_col, id_col)
+        id_col = "id"
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
     # one band-struct array + explode ⇒ the signature aggregation runs
     # ONCE (a unioned/self-joined formulation would recompute it per
@@ -112,10 +147,30 @@ def minhash_lsh_pairs(
     banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
+    # bucket-size gate BEFORE collect_list: the window count shares the
+    # (band,bkey) exchange with the groupBy that follows, so a mega
+    # bucket is filtered row-wise and its ids array is never built.
+    wb = Window.partitionBy("band", "bkey")
+    sized = banded.withColumn("_bn", F.count("*").over(wb))
+    keep = F.col("_bn") > 1
+    if max_bucket is not None:
+        if log_fn is not None:
+            n_drop = (
+                sized.filter(F.col("_bn") > max_bucket)
+                .select("band", "bkey")
+                .distinct()
+                .count()
+            )
+            if n_drop:
+                log_fn(
+                    f"minhash_lsh_pairs: dropped {n_drop} bucket(s) larger "
+                    f"than max_bucket={max_bucket}"
+                )
+        keep = keep & (F.col("_bn") <= max_bucket)
     buckets = (
-        banded.groupBy("band", "bkey")
+        sized.filter(keep)
+        .groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
     )
     pairs = (
         buckets.select(F.posexplode("ids").alias("pa", "id_a"), "ids")
@@ -135,14 +190,39 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: Optional[int] = 256,
+    log_fn: Optional[Callable[[str], None]] = None,
 ) -> DataFrame:
-    """Exact Jaccard over distinct shingle sets for all pairs sharing ≥1
+    """Jaccard over distinct shingle sets for all pairs sharing ≥1
     shingle. |A∩B| from the shingle equi-join; |A|,|B| from per-doc
-    counts; J = inter / (|A|+|B|-inter)."""
+    counts; J = inter / (|A|+|B|-inter).
+
+    ``max_df``: shingles appearing in more than max_df documents are
+    removed from every shingle set *before* sizes and the self-join
+    (standard stop-shingle practice). A shingle with document frequency
+    d contributes d·(d−1)/2 join rows — one boilerplate 3-gram at web
+    scale otherwise explodes the candidate stage quadratically. Sizes
+    are computed on the capped sets, so Jaccard stays internally
+    consistent (and the DuckDB oracle mirrors the cap). NOT silent:
+    pass ``log_fn`` to count and report the dropped shingles (opt-in —
+    costs one extra aggregate action)."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes_col(F.col(text_col), shingle_n)).alias("sh"),
     )
+    if max_df is not None:
+        wdf = Window.partitionBy("sh")
+        sized = sh.withColumn("_df", F.count("*").over(wdf))
+        if log_fn is not None:
+            n_hot = (
+                sized.filter(F.col("_df") > max_df).select("sh").distinct().count()
+            )
+            if n_hot:
+                log_fn(
+                    f"ngram_jaccard_pairs: dropped {n_hot} shingle(s) with "
+                    f"document frequency > max_df={max_df}"
+                )
+        sh = sized.filter(F.col("_df") <= max_df).drop("_df")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -170,34 +250,65 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_fingerprints(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64
 ) -> DataFrame:
     """(id, simhash): bit b set iff sum over distinct tokens of
-    (±1 by token-hash bit b) > 0. Single explode + groupBy."""
+    (±1 by token-hash bit b) > 0. Single explode + groupBy.
+
+    Default is the full 64-bit fingerprint — at 10^10 docs a 16-bit
+    hash has only 65k distinct values and is meaningless; 16 stays
+    available for the compact variant. Bit 63 is encoded by *adding*
+    −2^63 (the sign bit) instead of 2^63, which overflows a signed long
+    in both Spark ANSI arithmetic and DuckDB — the resulting value is
+    the two's-complement reinterpretation of the 64-bit pattern, and
+    XOR/bit_count Hamming math is unaffected."""
+    if not (1 <= bits <= 64):
+        raise ValueError("bits must be in 1..64")
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"),
     ).withColumn("th", md5_hash64_col(F.col("tok")))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    g = ex.groupBy("id").agg(*aggs)
+    # md5_hash64_col yields 60 significant bits; spread them to 64 by
+    # re-hashing per 16-bit nibble group would cost 4 md5s — instead use
+    # a second salted hash for the high bits when bits > 60.
+    th_hi = md5_hash64_col(F.concat(F.lit("hi:"), F.col("tok")))
+    ex = ex.withColumn("th_hi", th_hi)
+
+    def bit_of(b: int):
+        src = F.col("th") if b < 60 else F.shiftright(F.col("th_hi"), b - 60)
+        bitsrc = F.shiftright(src, b).bitwiseAND(F.lit(1)) if b < 60 else src.bitwiseAND(F.lit(1))
+        return F.sum(F.when(bitsrc == 1, 1).otherwise(-1)).alias(f"b{b}")
+
+    g = ex.groupBy("id").agg(*[bit_of(b) for b in range(bits)])
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        if b == 63:
+            term = F.when(F.col(f"b{b}") > 0, F.lit(-(2 ** 63))).otherwise(F.lit(0))
+        else:
+            term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         fp = term if fp is None else (fp + term)
     return g.select("id", fp.cast("long").alias("simhash"))
 
 
 def simhash_candidates(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 16, band_bits: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    band_bits: int = 16,
+    precollapse: bool = True,
+    max_bucket: Optional[int] = 1024,
+    log_fn: Optional[Callable[[str], None]] = None,
 ) -> DataFrame:
-    """Near-dup candidates: equal simhash band (Hamming blocking) and
-    Hamming distance ≤ band count − 1 guaranteed only for ≥1 exact band
-    match; exact distance returned for post-filtering."""
+    """Near-dup candidates: equal simhash band (Hamming blocking); exact
+    Hamming distance returned for post-filtering. Same mega-bucket
+    hardening as minhash_lsh_pairs: exact dups pre-collapsed to their
+    min-id representative, bucket-size cap applied *before* the members
+    array is built (window count shares the exchange with the groupBy),
+    dropped buckets countable via ``log_fn`` (opt-in action)."""
+    if precollapse:
+        df = _exact_representatives(df, text_col, id_col)
+        id_col = "id"
     fps = simhash_fingerprints(df, text_col, id_col, bits)
     n_bands = bits // band_bits
     band_structs = [
@@ -212,14 +323,27 @@ def simhash_candidates(
     banded = fps.select(
         "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    buckets = (
-        banded.groupBy("band", "bkey")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct(F.col("id"), F.col("simhash")))
-            ).alias("members")
-        )
-        .filter(F.size("members") > 1)
+    wb = Window.partitionBy("band", "bkey")
+    sized = banded.withColumn("_bn", F.count("*").over(wb))
+    keep = F.col("_bn") > 1
+    if max_bucket is not None:
+        if log_fn is not None:
+            n_drop = (
+                sized.filter(F.col("_bn") > max_bucket)
+                .select("band", "bkey")
+                .distinct()
+                .count()
+            )
+            if n_drop:
+                log_fn(
+                    f"simhash_candidates: dropped {n_drop} bucket(s) larger "
+                    f"than max_bucket={max_bucket}"
+                )
+        keep = keep & (F.col("_bn") <= max_bucket)
+    buckets = sized.filter(keep).groupBy("band", "bkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), F.col("simhash")))
+        ).alias("members")
     )
     pairs = (
         buckets.select(F.posexplode("members").alias("pa", "ma"), "members")

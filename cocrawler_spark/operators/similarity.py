@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_hash64_col
+from ..functions.text import md5_hash64_col, md5_hash64_sql
 
 
 def _dot(a, b):
@@ -105,6 +105,27 @@ def lsh_bucket_col(vec, n_planes: int = 8, seed: str = "ann"):
     return b.cast("int")
 
 
+def hyperplane_sign_sql(vec_expr: str, plane_id: int, seed: str = "ann") -> str:
+    """DuckDB twin of hyperplane_sign_col — same md5-derived pseudo-random
+    components in the same left-to-right summation order."""
+    rand = md5_hash64_sql(f"'{seed}:{plane_id}:' || CAST(j AS VARCHAR)")
+    comp = (
+        f"list_sum(list_transform(range(len({vec_expr})), j -> "
+        f"CAST({vec_expr}[j + 1] AS DOUBLE) * "
+        f"((({rand}) % 1000) / 500.0 - 1.0)))"
+    )
+    return f"(CASE WHEN {comp} >= 0 THEN 1 ELSE 0 END)"
+
+
+def lsh_bucket_sql(vec_expr: str, n_planes: int = 8, seed: str = "ann") -> str:
+    """DuckDB twin of lsh_bucket_col."""
+    terms = [
+        f"{hyperplane_sign_sql(vec_expr, p, seed)} * {2 ** p}"
+        for p in range(n_planes)
+    ]
+    return "CAST((" + " + ".join(terms) + ") AS INT)"
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -151,17 +172,32 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.3,
     round_to: int = 4,
+    exact: bool = False,
+    n_planes: int = 6,
+    seed: str = "ann",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
 
-    Brute-force O(n²) within the given corpus slice — the correctness
-    baseline. Scale path: replace the self-crossJoin with the LSH
-    bucket join of `lsh_ann_topk` (same scoring expression), or an IVF
-    coarse quantizer; the scoring/threshold stage is unchanged.
+    Default (``exact=False``) is the 100 TB path: candidate pairs only
+    within an LSH random-hyperplane bucket — an *equi-join on the bucket
+    key* (shuffle key = bucket, no cross product), then exact cosine and
+    the threshold on candidates. Recall is tunable via ``n_planes``
+    (fewer planes → bigger buckets → higher recall, more candidates).
+
+    ``exact=True`` keeps the O(n²) brute-force self-join as the
+    correctness baseline for small slices — never the default, and never
+    what a pipeline should call at scale.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    e = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if exact:
+        a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        eb = e.withColumn("bucket", lsh_bucket_col(F.col("v"), n_planes, seed))
+        a = eb.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+        b = eb.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+        pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn(
         "cos",
         cosine_col(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),

@@ -70,6 +70,37 @@ def test_outlinks_and_sha1_parity(spark, tiny_web):
         assert rt == redirect_target_py(spans), doc_id
 
 
+def test_redirect_target_noisy_parity(spark):
+    """clean_link parity JVM↔Python on noisy redirect targets (quotes,
+    backslashes, internal tabs/newlines) — synth never emits these, so
+    this pins the r1 divergence (F.trim vs clean_link) explicitly."""
+    noisy = [
+        '  "http://t.test/a"  ',
+        "\thttp://t.test/b\\\n",
+        "'http://t.test/c'",
+        "http://t.\nte\tst/d",
+        "   ",
+        None,
+    ]
+    rows = [
+        (f"d{i}", [{"kind": "redirect", "text": t, "media_ref": None, "offset": 0}])
+        for i, t in enumerate(noisy)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {
+        r["doc_id"]: r["rt"]
+        for r in df.select(
+            "doc_id", redirect_target_col(F.col("spans")).alias("rt")
+        ).collect()
+    }
+    for doc_id, spans in rows:
+        exp = redirect_target_py(spans)
+        assert (got[doc_id] or "") == (exp or ""), (doc_id, got[doc_id], exp)
+
+
 def test_special_redirect_col_parity(spark):
     pairs = [
         ("http://a.test/p", "http://a.test/p#x"),

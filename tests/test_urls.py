@@ -35,6 +35,14 @@ from cocrawler_spark.functions.urls import (
         ('"http://example.com/a"', "http://example.com/a"),
         ("http://bücher.example/", "http://xn--bcher-kva.example/"),
         ("http://example.com./a", "http://example.com/a"),
+        # empty path segments (//) must survive, and dot segments must
+        # still collapse around them (RFC 3986 §5.2.4; r1 idempotence bug)
+        ("http://a.a0//0/.", "http://a.a0//0/"),
+        ("http://h.test//a//b/../c", "http://h.test//a//c"),
+        ("http://h.test//./x", "http://h.test//x"),
+        ("http://h.test/a/../../x", "http://h.test/x"),
+        ("http://h.test/..", "http://h.test/"),
+        ("http://h.test/a/..", "http://h.test/"),
     ],
 )
 def test_canonicalize_golden(raw, expected_url):
