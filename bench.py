@@ -37,10 +37,13 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_neardup",
     "text_quality",
     "text_langid",
     "text_fingerprint",
     "ann_topk_bruteforce",
+    "ann_lsh_bucketed",
+    "per_domain_topk",
     "session_windows",
 ]
 

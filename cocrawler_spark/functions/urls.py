@@ -276,12 +276,19 @@ CANON_STRUCT = StructType(
         StructField("path", StringType()),
         StructField("query", StringType()),
         StructField("surt", StringType()),
+        StructField("domain", StringType()),
     ]
 )
 
+_CANON_FIELDS = ("url", "scheme", "host", "path", "query", "surt", "domain")
+
 
 def _canon_batch(raw: pd.Series, base: pd.Series) -> pd.DataFrame:
-    out = {k: [] for k in ("url", "scheme", "host", "path", "query", "surt")}
+    # registered_domain rides the same Arrow pass as canonicalization —
+    # one extra suffix lookup per row instead of a second UDF stage
+    from .domains import registered_domain_py
+
+    out = {k: [] for k in _CANON_FIELDS}
     for r, b in zip(raw.tolist(), base.tolist()):
         c = canonicalize_one(r if r is not None else "", b or None)
         out["url"].append(c.url)
@@ -290,6 +297,7 @@ def _canon_batch(raw: pd.Series, base: pd.Series) -> pd.DataFrame:
         out["path"].append(c.path)
         out["query"].append(c.query)
         out["surt"].append(c.surt)
+        out["domain"].append(registered_domain_py(c.host) if c.host else "")
     return pd.DataFrame(out)
 
 
@@ -312,6 +320,6 @@ def with_canonical(df, raw_col: str, base_col=None, prefix: str = ""):
     base = F.col(base_col) if base_col else F.lit(None).cast("string")
     tmp = "_canon_struct"
     df = df.withColumn(tmp, canonicalize_udf()(F.col(raw_col), base))
-    for f in ("url", "scheme", "host", "path", "query", "surt"):
+    for f in _CANON_FIELDS:
         df = df.withColumn(prefix + f, F.col(f"{tmp}.{f}"))
     return df.drop(tmp)

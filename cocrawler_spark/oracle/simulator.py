@@ -52,6 +52,7 @@ from dataclasses import dataclass, field
 
 from ..config import CrawlConfig
 from ..functions.dns import is_private_host_py
+from ..functions.domains import registered_domain_py
 from ..functions.hashing import is_flaky, keyed_hash64, rand_key
 from ..functions.parse import (
     content_sha1_py,
@@ -80,6 +81,7 @@ class Item:
     tries: int
     is_seed: bool
     via: str
+    domain: str = ""
 
     def order_key(self, rand: int):
         return (self.priority, rand, self.surt)
@@ -93,6 +95,7 @@ class CrawlResult:
     redirects: list = field(default_factory=list)  # (wave,from_url,from_surt,to_url,to_surt,kind)
     metrics: list = field(default_factory=list)  # (wave,name,kind,value)
     outlinks: dict = field(default_factory=dict)  # doc_id -> [(target,kind,span_offset)]
+    facets: list = field(default_factory=list)  # (wave,url,key,value)
     waves: int = 0
 
 
@@ -166,6 +169,7 @@ class Simulator:
                     tries=0,
                     is_seed=cand["is_seed"],
                     via=cand["via"],
+                    domain=registered_domain_py(c.host),
                 )
             )
         # within-wave dedup on surt: keep min (priority, depth, via, url,
@@ -274,13 +278,15 @@ class Simulator:
         raw_candidates: list[dict] = []
         requeued: list[Item] = []
         status_counts: dict[int, int] = {}
-        links_found = embeds_found = lost = 0
+        links_found = embeds_found = lost = parse_skipped = 0
         max_depth_fetched = 0
+        domains_fetched: set[str] = set()
         for seq, it in enumerate(fetchable, start=1):
             self.res.crawl_order.append((wave, seq, it.surt, it.url))
             self.total_fetched += 1
             self.host_fetched[it.host] = self.host_fetched.get(it.host, 0) + 1
             max_depth_fetched = max(max_depth_fetched, it.depth)
+            domains_fetched.add(it.domain)
             spans = self.web.docs.get(it.url)
             if is_flaky(it.url, cfg.flaky_mod) and it.tries == 0:
                 status = 599
@@ -301,7 +307,7 @@ class Simulator:
                         Item(
                             url=it.url, surt=it.surt, host=it.host, path=it.path,
                             priority=it.priority, depth=it.depth, tries=it.tries + 1,
-                            is_seed=it.is_seed, via=VIA_RETRY,
+                            is_seed=it.is_seed, via=VIA_RETRY, domain=it.domain,
                         )
                     )
                 else:
@@ -321,10 +327,22 @@ class Simulator:
                     }
                 )
             elif status == 200:
+                # content-type gate: docs without a text span are fetched
+                # but not parsed (cocrawler/post_fetch.py† parses only
+                # text/html) — no outlinks, no candidates, no facets
+                if not any(sp["kind"] == "text" for sp in spans):
+                    parse_skipped += 1
+                    continue
                 links = extract_outlinks_py(spans)
                 self.res.outlinks[it.url] = [
                     (l["target"], l["kind"], l["span_offset"]) for l in links
                 ]
+                n_l = sum(1 for l in links if l["kind"] == "link")
+                self.res.facets.append((wave, it.url, "n_links", str(n_l)))
+                self.res.facets.append(
+                    (wave, it.url, "n_embeds", str(len(links) - n_l))
+                )
+                self.res.facets.append((wave, it.url, "n_spans", str(len(spans))))
                 for l in links:
                     if l["kind"] == "link":
                         links_found += 1
@@ -342,6 +360,8 @@ class Simulator:
         for st in sorted(status_counts):
             self._metric(wave, f"fetch_status_{st}", status_counts[st])
         self._metric(wave, "pages_fetched", len(fetchable))
+        self._metric(wave, "parse_skipped", parse_skipped)
+        self._metric(wave, "domains_fetched", len(domains_fetched))
         self._metric(wave, "links_found", links_found)
         self._metric(wave, "embeds_found", embeds_found)
         self._metric(wave, "lost", lost)

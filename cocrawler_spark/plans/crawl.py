@@ -45,6 +45,7 @@ from ..functions.hashing import is_flaky_col, keyed_hash64_col, rand_key
 from ..functions.parse import (
     content_sha1_col,
     extract_outlinks_udf,
+    has_text_span_col,
     redirect_target_col,
 )
 from ..functions.dns import is_private_host_udf
@@ -56,6 +57,7 @@ from ..sources.catalog import SnapshotCatalog
 
 FRONTIER_COLS = [
     "url", "surt", "host", "path", "priority", "depth", "tries", "is_seed", "via",
+    "domain",
 ]
 
 def _empty_arr():
@@ -79,6 +81,8 @@ class CrawlEngine:
         politeness_salt: int = 0,
         lean: bool = False,
         broadcast_fetch: bool = True,
+        broadcast_fetch_max: int = 2_000_000,
+        state_compact_every: int = 8,
     ):
         self.spark = spark
         self.cfg = cfg
@@ -90,6 +94,14 @@ class CrawlEngine:
         self.bloom_compact_every = bloom_compact_every
         self.politeness_salt = politeness_salt
         self.broadcast_fetch = broadcast_fetch
+        # guard (ADVICE r1): beyond this many fetchable URLs the slim
+        # broadcast would strain the driver / broadcast-table limit —
+        # fall back to the shuffle left join automatically
+        self.broadcast_fetch_max = broadcast_fetch_max
+        # robots/host_counts are delta tables with periodic compaction
+        # (a full rewrite per wave is O(total hosts) on the critical
+        # path — at 10^8 hosts that is the per-wave bottleneck)
+        self.state_compact_every = state_compact_every
         # lean mode: skip metrics-only collect jobs; control-flow counts
         # come from the lineage row counts the staged writes compute
         # anyway (async, off the driver's critical path). Used by the
@@ -220,7 +232,8 @@ class CrawlEngine:
             .agg(
                 F.min(
                     F.struct(
-                        "priority", "depth", "via", "url", "is_seed", "host", "path"
+                        "priority", "depth", "via", "url", "is_seed", "host", "path",
+                        "domain",
                     )
                 ).alias("_w")
             )
@@ -233,6 +246,7 @@ class CrawlEngine:
                 F.col("_w.is_seed").alias("is_seed"),
                 F.col("_w.host").alias("host"),
                 F.col("_w.path").alias("path"),
+                F.col("_w.domain").alias("domain"),
             )
         )
         # seen anti-membership. With the bloom sidecar, candidates whose
@@ -240,13 +254,10 @@ class CrawlEngine:
         # the exact anti-join (at 10^10 scale that removes most of the
         # anti-join's shuffle traffic); positives fall through to the
         # exact join — FPs cost a recheck, never a wrong drop.
-        out_cols = [
-            "url", "surt", "host", "path", "priority", "depth", "tries",
-            "is_seed", "via",
-        ]
+        out_cols = FRONTIER_COLS
         deduped = deduped.select(
             "url", "surt", "host", "path", "priority", "depth",
-            F.lit(0).alias("tries"), "is_seed", "via",
+            F.lit(0).alias("tries"), "is_seed", "via", "domain",
         )
         if self.use_bloom and self.bloom is not None:
             from ..state.bloom import probe_bloom
@@ -304,6 +315,38 @@ class CrawlEngine:
             else:
                 self._stage_async("bloom", delta, wave, mode="delta")
         return new_rows, new_count
+
+    def _compact_wave(self, wave: int) -> bool:
+        return (
+            wave > 0
+            and self.state_compact_every > 0
+            and wave % self.state_compact_every == 0
+        )
+
+    @staticmethod
+    def _robots_view(df: Optional[DataFrame]) -> Optional[DataFrame]:
+        """Latest entry per host over a union of robots deltas. Expired
+        entries are kept (the per-wave TTL filter handles them) until a
+        compaction full-write prunes the table."""
+        if df is None:
+            return None
+        # latest-wins as a hash agg (max struct, fetched_wave first) —
+        # map-side combinable, no per-task window sort buffers; a host
+        # appears at most once per delta file so the winner is unique
+        rest = [c for c in df.columns if c != "host"]
+        order = ["fetched_wave"] + [c for c in rest if c != "fetched_wave"]
+        return (
+            df.groupBy("host")
+            .agg(F.max(F.struct(*order)).alias("_w"))
+            .select("host", *[F.col(f"_w.{c}").alias(c) for c in rest])
+        )
+
+    @staticmethod
+    def _host_counts_view(df: Optional[DataFrame]) -> Optional[DataFrame]:
+        """Total pages per host over a union of per-wave deltas."""
+        if df is None:
+            return None
+        return df.groupBy("host").agg(F.sum("pages").alias("pages"))
 
     def _refresh_state_after_writes(self, wave: int):
         """Point seen/bloom at their on-disk form (fresh lineage) once the
@@ -422,9 +465,15 @@ class CrawlEngine:
                 F.coalesce("disallow", _empty_arr()).alias("disallow"),
             )
         )
-        robots_new = self._persist(fresh.select(*newly.columns).unionByName(newly))
-        self._stage_async("robots", robots_new, wave, mode="full")
-        self.robots = robots_new
+        robots_now = self._persist(fresh.select(*newly.columns).unionByName(newly))
+        # delta per wave (only this wave's refreshed hosts), periodic
+        # full compaction: a full rewrite per wave is O(total hosts)
+        # write volume on the critical path (VERDICT r1 #7)
+        if self._compact_wave(wave):
+            self._stage_async("robots", robots_now, wave, mode="full")
+        else:
+            self._stage_async("robots", newly, wave, mode="delta")
+        self.robots = robots_now
         if not self.lean:
             self._metric(wave, "robots_fetched", newly.count())
         t = self._ckpt(wave, "robots", t)
@@ -470,7 +519,10 @@ class CrawlEngine:
         )
         af = self._persist(af)
         if self.lean:
-            n_defer_pol = 0  # rolled into the staged frontier's lineage count
+            # deferred counts are never collected in lean mode; loop
+            # control uses the staged frontier's lineage count instead.
+            # None (not 0) so accidental arithmetic on it raises.
+            n_defer_pol = None
         else:
             ccounts = {
                 r["_class"]: r["cnt"]
@@ -501,7 +553,7 @@ class CrawlEngine:
         else:
             fetchable = fseq
             deferred = deferred_pol
-        n_deferred = n_defer_pol + n_overflow
+        n_deferred = None if self.lean else (n_defer_pol + n_overflow)
 
         crawl_order_df = fetchable.select(
             F.lit(wave).alias("wave"), F.col("seq"), F.col("surt"), F.col("url")
@@ -527,7 +579,12 @@ class CrawlEngine:
         # broadcast_fetch=False falls back to a full shuffle left join
         # (real clusters: storage-partitioned join on host_bucket).
         docs = self.documents
-        if self.broadcast_fetch:
+        # size guard (ADVICE r1): n_fetch0 is known before the join —
+        # beyond the threshold a driver-built broadcast of the URL
+        # column would strain driver memory / Spark's broadcast limit,
+        # so fall back to the shuffle left join automatically.
+        use_bcast = self.broadcast_fetch and n_fetch0 <= self.broadcast_fetch_max
+        if use_bcast:
             urls = fetchable.select(F.col("url").alias("_fu"))
             matched = docs.join(
                 F.broadcast(urls), docs["doc_id"] == F.col("_fu"), "left_semi"
@@ -537,6 +594,7 @@ class CrawlEngine:
                 redirect_target_col(F.col("spans")).alias("_redirect_tgt"),
                 content_sha1_col(F.col("spans")).alias("_sha1_raw"),
                 F.size(F.col("spans")).cast("int").alias("_n_spans_raw"),
+                has_text_span_col(F.col("spans")).alias("_has_text"),
                 extract_outlinks_udf()(F.col("spans")).alias("outlinks"),
             )
             fx = fetchable.join(
@@ -548,6 +606,7 @@ class CrawlEngine:
                 fx.withColumn("_redirect_tgt", redirect_target_col(F.col("spans")))
                 .withColumn("_sha1_raw", content_sha1_col(F.col("spans")))
                 .withColumn("_n_spans_raw", F.size(F.col("spans")).cast("int"))
+                .withColumn("_has_text", has_text_span_col(F.col("spans")))
                 .withColumn("outlinks", extract_outlinks_udf()(F.col("spans")))
             )
         fx = fx.withColumn(
@@ -571,6 +630,7 @@ class CrawlEngine:
             .otherwise(F.lit(0))
             .cast("int")
             .alias("n_spans"),
+            F.coalesce(F.col("_has_text"), F.lit(False)).alias("has_text"),
             "outlinks",
         )
         fx = self._persist(fx)
@@ -586,7 +646,13 @@ class CrawlEngine:
                 F.when(F.col("tries") + 1 < cfg.max_tries, 1).otherwise(0)
             ).alias("retriable"),
             F.max("depth").alias("maxd"),
+            # content-type gate analog: 200s without a text span are not
+            # parsed (cocrawler/post_fetch.py† only parses text/html)
+            F.sum(F.when(~F.col("has_text"), 1).otherwise(0)).alias("unparsed"),
         ).collect()
+        n_unparsed = sum(
+            int(r["unparsed"] or 0) for r in srows if r["status"] == 200
+        )
         t = self._ckpt(wave, "fetch+distill", t)
         fetched_content = fx.select(
             F.lit(wave).alias("wave"), "url", "surt", "status", "sha1", "n_spans"
@@ -599,23 +665,36 @@ class CrawlEngine:
         for st in sorted(status_counts):
             self._metric(wave, f"fetch_status_{st}", status_counts[st])
         self._metric(wave, "pages_fetched", pages)
+        self._metric(wave, "parse_skipped", n_unparsed)
+        if not self.lean:
+            # distinct eTLD+1 domains fetched this wave — rides the
+            # cached fx (a tiny extra agg job, metrics mode only)
+            self._metric(
+                wave,
+                "domains_fetched",
+                fx.select(F.countDistinct("domain")).collect()[0][0],
+            )
         self.total_fetched += pages
 
-        # host fetch accounting (per-host budget state)
+        # host fetch accounting (per-host budget state): delta per wave
+        # (hosts actually fetched), periodic full compaction
         hc_delta = fx.groupBy("host").agg(F.count("*").alias("pages"))
-        hc = (
-            self.host_counts.unionByName(hc_delta)
-            .groupBy("host")
-            .agg(F.sum("pages").alias("pages"))
-        )
-        self._stage_async("host_counts", hc, wave, mode="full")
+        if self._compact_wave(wave):
+            hc = (
+                self.host_counts.unionByName(hc_delta)
+                .groupBy("host")
+                .agg(F.sum("pages").alias("pages"))
+            )
+            self._stage_async("host_counts", hc, wave, mode="full")
+        else:
+            self._stage_async("host_counts", hc_delta, wave, mode="delta")
 
         # --- retries (tries gate; fetch_and_process retry path†)
         r = fx.filter(F.col("status") == 599)
         requeue = r.filter(F.col("tries") + 1 < cfg.max_tries).select(
             "url", "surt", "host", "path", "priority", "depth",
             (F.col("tries") + 1).alias("tries"), "is_seed",
-            F.lit("retry").alias("via"),
+            F.lit("retry").alias("via"), "domain",
         )
         n_599 = status_counts.get(599, 0)
         self._metric(wave, "lost", n_599 - n_requeue)
@@ -658,11 +737,13 @@ class CrawlEngine:
             F.lit("redirect").alias("via"),
         )
 
-        # --- parse 200s: the Arrow-vectorized outlink extraction (burner†
-        # analog) already ran in the distill pass above; just slice it.
-        ol = fx.filter(F.col("status") == 200).select(
-            "url", "priority", "depth", "outlinks"
-        )
+        # --- parse 200s WITH a text span (content-type gate): the
+        # Arrow-vectorized outlink extraction (burner† analog) already
+        # ran in the distill pass above; just slice it. Docs without a
+        # text span are fetched but not parsed — no outlinks, no
+        # candidates, no facets (counted in parse_skipped).
+        parsed = fx.filter((F.col("status") == 200) & F.col("has_text"))
+        ol = parsed.select("url", "priority", "depth", "outlinks")
         outlinks_flat = ol.select(
             F.col("url").alias("doc_id"),
             F.posexplode("outlinks").alias("ord", "l"),
@@ -671,6 +752,27 @@ class CrawlEngine:
             F.col("l.kind").alias("kind"), F.col("l.span_offset").alias("span_offset"),
         )
         self._stage_async("outlinks", outlinks_flat, wave, mode="delta")
+
+        # --- facets data product (SURVEY §1 row 13): small key→value
+        # map per parsed doc, exploded into a (wave, url, key, value)
+        # delta table — pure JVM expressions over columns the distill
+        # pass already produced, no extra UDF and no extra action.
+        fmap = F.create_map(
+            F.lit("n_links"),
+            F.size(F.filter(F.col("outlinks"), lambda l: l["kind"] == "link"))
+            .cast("string"),
+            F.lit("n_embeds"),
+            F.size(F.filter(F.col("outlinks"), lambda l: l["kind"] == "embed"))
+            .cast("string"),
+            F.lit("n_spans"),
+            F.col("n_spans").cast("string"),
+        )
+        facets = parsed.select(
+            F.lit(wave).alias("wave"),
+            "url",
+            F.explode(fmap).alias("key", "value"),
+        )
+        self._stage_async("facets", facets, wave, mode="delta")
 
         link_cands = ol.select(
             "url", "priority", "depth", F.explode("outlinks").alias("l")
@@ -725,8 +827,10 @@ class CrawlEngine:
         t = self._ckpt(wave, "join_writes", t)
         if n_next is None:
             # lean mode: deferred-count never collected; the staged
-            # frontier's lineage row count (computed anyway) supplies it
-            n_next = self.catalog._pending["frontier"].get("rows", 0)
+            # frontier's lineage row count (computed anyway) supplies it.
+            # staged_rows raises if lineage is missing — a silent 0 here
+            # would terminate the crawl early (ADVICE r1).
+            n_next = self.catalog.staged_rows("frontier")
         self._base_manifest = self.catalog.commit(
             wave,
             {
@@ -737,8 +841,15 @@ class CrawlEngine:
             base=self._base_manifest,
         )
         self._refresh_state_after_writes(wave)
-        self.host_counts = results["host_counts"]
-        self.robots = results["robots"]
+        # robots/host_counts are delta tables: rebuild the aggregated
+        # views from the committed paths (fresh lineage each wave — the
+        # view is O(hosts touched since last compaction) extra rows)
+        self.host_counts = self._host_counts_view(
+            self.catalog.load("host_counts", self._base_manifest)
+        )
+        self.robots = self._robots_view(
+            self.catalog.load("robots", self._base_manifest)
+        )
         self._unpersist_all()
         self.frontier = results["frontier"]
         self.frontier_count = n_next
@@ -778,8 +889,10 @@ class CrawlEngine:
         self._base_manifest = m
         self.frontier = self.catalog.load("frontier", m)
         self.seen = self.catalog.load("seen", m)
-        self.robots = self.catalog.load("robots", m)
-        self.host_counts = self.catalog.load("host_counts", m)
+        self.robots = self._robots_view(self.catalog.load("robots", m))
+        self.host_counts = self._host_counts_view(
+            self.catalog.load("host_counts", m)
+        )
         if self.use_bloom:
             self.bloom = self.catalog.load("bloom", m)
         self.total_fetched = int(m.get("total_fetched", 0))

@@ -96,6 +96,20 @@ class SnapshotCatalog:
             self._pending[name] = entry
         return self.spark.read.parquet(path)
 
+    def staged_rows(self, name: str) -> int:
+        """Row count of a staged (not yet committed) lineage table.
+
+        Raises (KeyError) if `name` was not staged this wave or was
+        staged without lineage=True — callers use this for loop control,
+        where a silent 0 default would terminate a crawl early."""
+        with self._lock:
+            entry = self._pending[name]
+            if "rows" not in entry:
+                raise KeyError(
+                    f"table '{name}' was staged without lineage; no row count"
+                )
+            return int(entry["rows"])
+
     def commit(
         self, wave: int, extra: Optional[dict] = None, base: Optional[dict] = None
     ) -> dict:

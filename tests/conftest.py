@@ -16,7 +16,7 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "24g")
         # many engine runs share this session; reclaim shuffle/broadcast
         # state promptly instead of at the default 30min cleaner tick
         .config("spark.cleaner.periodicGC.interval", "1min")

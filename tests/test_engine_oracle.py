@@ -57,6 +57,12 @@ def assert_engine_matches_oracle(engine, res):
         )
     got_ol = {k: [t[1:] for t in sorted(v)] for k, v in got_ol.items()}
     assert got_ol == res.outlinks
+    # facets data product (wave, url, key, value)
+    got_fc = sorted(
+        (r["wave"], r["url"], r["key"], r["value"])
+        for r in engine.output("facets").collect()
+    )
+    assert got_fc == sorted(res.facets)
     # redirects
     got_rd = sorted(
         (r["wave"], r["from_url"], r["from_surt"], r["to_url"], r["to_surt"], r["kind"])
