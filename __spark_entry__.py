@@ -52,6 +52,11 @@ from cocrawler_spark.operators.similarity import (
     lsh_ann_topk,
     lsh_bucket_sql,
 )
+from cocrawler_spark.sources.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_assets_from_documents,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -541,6 +546,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["per_domain_topk"] = per_domain_topk
 
+    # --- multimodal plumbing (graded: md5-derived stubs have SQL twins) ------
+    def _media_docs(spark, sf):
+        """sf documents given a deterministic spans-shaped media frame:
+        two media refs per doc (one shared-pool asset, one video) — the
+        multimodal operators then run their real plumbing (span filter →
+        explode → distinct → Arrow mapInPandas) over it."""
+        d = _t(spark, sf, "documents")
+        exts = F.array(*[F.lit(e) for e in ("png", "jpg", "css", "js", "wav", "mp4")])
+        ref1 = F.concat(
+            F.lit("m/"), (F.col("doc_id") % 500).cast("string"), F.lit("."),
+            F.element_at(exts, ((F.col("doc_id") % 6) + 1).cast("int")),
+        )
+        ref2 = F.concat(F.lit("v/"), (F.col("doc_id") % 97).cast("string"), F.lit(".mp4"))
+
+        def med(ref, off):
+            return F.struct(
+                F.lit("media").alias("kind"), F.lit("").alias("text"),
+                ref.alias("media_ref"), F.lit(off).cast("int").alias("offset"),
+            )
+
+        return d.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(med(ref1, 0), med(ref2, 1)).alias("spans"),
+        )
+
+    def media_assets_meta(spark, sf):
+        a = synth_assets_from_documents(_media_docs(spark, sf))
+        return a.select(
+            "asset_id", "doc_id", "kind",
+            F.col("meta.format").alias("format"),
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+        )
+
+    q["media_assets_meta"] = media_assets_meta
+
+    def media_feature_extract(spark, sf):
+        a = synth_assets_from_documents(_media_docs(spark, sf))
+        f = extract_features(a, dim=16)
+        # grade the features as exact bytes (value*255): float32/float64
+        # repr drift across engines can't bite integers
+        return f.select(
+            "asset_id", "kind",
+            F.transform(
+                F.col("feature"), lambda x: F.round(x * 255).cast("int")
+            ).alias("feature_bytes"),
+        )
+
+    q["media_feature_extract"] = media_feature_extract
+
+    def media_frame_sample(spark, sf):
+        a = synth_assets_from_documents(_media_docs(spark, sf))
+        fr = sample_frames(a, every_ms=1000)
+        # frame payload bytes are pinned by unit tests; the oracle grades
+        # the fan-out shape (one row per sampled timestamp per video)
+        return fr.select("asset_id", "frame_idx", "ts_ms")
+
+    q["media_frame_sample"] = media_frame_sample
+
+    # --- DNS cache / hosts dim (deterministic fake resolver + gate) ----------
+    def dns_resolve(spark, sf):
+        from cocrawler_spark.functions.dns import (
+            fake_dns_ip_col,
+            resolved_private_host_col,
+        )
+
+        e = _t(spark, sf, "events")
+        host = F.concat(
+            F.lit("h"), (F.col("user_id") % 50).cast("string"), F.lit("."),
+            F.element_at(
+                F.array(F.lit("test"), F.lit("com"), F.lit("org")),
+                ((F.col("event_id") % 3) + 1).cast("int"),
+            ),
+        )
+        d = e.select(host.alias("host")).distinct()
+        return d.select(
+            "host",
+            fake_dns_ip_col(F.col("host")).alias("ip"),
+            resolved_private_host_col(F.col("host")).alias("is_private"),
+        )
+
+    q["dns_resolve"] = dns_resolve
+
     return q
 
 
@@ -959,5 +1050,76 @@ dom AS (
   FROM lab)
 SELECT domain, COUNT(*) AS n FROM dom GROUP BY domain
 ORDER BY n DESC, domain ASC LIMIT 25"""
+
+    # --- multimodal twins: meta/features derive from md5(asset_id) bytes,
+    # reproduced from md5 hex pairs (sources/multimodal.py synth stub) ----
+    def _hb(i: int) -> str:
+        return f"CAST(('0x' || substr(md5(asset_id), {2 * i + 1}, 2)) AS INT)"
+
+    _media_refs = """
+refs AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, r AS asset_id FROM (
+    SELECT doc_id, 'm/' || CAST(doc_id % 500 AS VARCHAR) || '.' ||
+           (['png','jpg','css','js','wav','mp4'])[CAST(doc_id % 6 AS INT) + 1] AS r
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'v/' || CAST(doc_id % 97 AS VARCHAR) || '.mp4' FROM documents
+  )
+),
+hx AS (
+  SELECT doc_id, asset_id,
+         {h0} AS h0, {h1} AS h1, {h2} AS h2, {h3} AS h3,
+         regexp_extract(asset_id, '[^.]*$') AS ext
+  FROM refs
+),
+kinds AS (
+  SELECT *, CASE ext WHEN 'png' THEN 'image' WHEN 'jpg' THEN 'image'
+                     WHEN 'css' THEN 'text_asset' WHEN 'js' THEN 'text_asset'
+                     WHEN 'wav' THEN 'audio' WHEN 'mp4' THEN 'video'
+                     ELSE 'blob' END AS kind
+  FROM hx
+)""".format(h0=_hb(0), h1=_hb(1), h2=_hb(2), h3=_hb(3))
+
+    s["media_assets_meta"] = f"""
+WITH {_media_refs}
+SELECT asset_id, doc_id, kind, ext AS format,
+  CAST(CASE WHEN kind = 'image' THEN 16 + h1 % 64 END AS INT) AS width,
+  CAST(CASE WHEN kind = 'image' THEN 16 + h2 % 64 END AS INT) AS height,
+  CAST(CASE WHEN kind = 'audio' THEN 16000 END AS INT) AS sample_rate,
+  CAST(CASE WHEN kind IN ('audio','video') THEN 100 * h3 END AS INT) AS duration_ms,
+  CAST(256 + h0 * 7 AS BIGINT) AS n_bytes
+FROM kinds"""
+
+    _feat_list = ", ".join(_hb(i) for i in range(16))
+    s["media_feature_extract"] = f"""
+WITH {_media_refs}
+SELECT asset_id, kind, [{_feat_list}] AS feature_bytes FROM kinds"""
+
+    s["media_frame_sample"] = f"""
+WITH {_media_refs},
+vids AS (
+  SELECT asset_id,
+         CAST(ceil(greatest(100 * h3, 1) / 1000.0) AS INT) AS nf
+  FROM kinds WHERE kind = 'video'
+),
+idx AS (
+  SELECT asset_id, CAST(UNNEST(range(0, nf)) AS INT) AS frame_idx FROM vids
+)
+SELECT asset_id, frame_idx, frame_idx * 1000 AS ts_ms FROM idx"""
+
+    from cocrawler_spark.functions.dns import (
+        fake_dns_ip_sql,
+        resolved_private_host_sql,
+    )
+
+    s["dns_resolve"] = f"""
+WITH h AS (
+  SELECT DISTINCT 'h' || CAST(user_id % 50 AS VARCHAR) || '.'
+         || (['test','com','org'])[CAST(event_id % 3 AS INT) + 1] AS host
+  FROM events
+)
+SELECT host, {fake_dns_ip_sql('host')} AS ip,
+       {resolved_private_host_sql('host')} AS is_private
+FROM h"""
 
     return s

@@ -44,6 +44,8 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "per_domain_topk",
+    "dns_resolve",
+    "media_assets_meta",
     "session_windows",
 ]
 

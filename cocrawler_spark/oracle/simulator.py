@@ -51,7 +51,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..config import CrawlConfig
-from ..functions.dns import is_private_host_py
+from ..functions.dns import fake_dns_ip_py, is_private_host_py, resolved_private_py
 from ..functions.domains import registered_domain_py
 from ..functions.hashing import is_flaky, keyed_hash64, rand_key
 from ..functions.parse import (
@@ -96,6 +96,7 @@ class CrawlResult:
     metrics: list = field(default_factory=list)  # (wave,name,kind,value)
     outlinks: dict = field(default_factory=dict)  # doc_id -> [(target,kind,span_offset)]
     facets: list = field(default_factory=list)  # (wave,url,key,value)
+    dns_cache: list = field(default_factory=list)  # (host,ip,first_wave)
     waves: int = 0
 
 
@@ -105,6 +106,7 @@ class Simulator:
         self.cfg = cfg
         self.res = CrawlResult()
         self.robots_state: dict[str, dict] = {}  # host -> entry
+        self.dns_cache: dict[str, tuple] = {}  # host -> (ip, first_wave)
         self.host_fetched: dict[str, int] = {}
         self.total_fetched = 0
 
@@ -142,7 +144,8 @@ class Simulator:
         cfg = self.cfg
         canon_items: list[Item] = []
         counters = dict(
-            bad_url=0, scheme_dropped=0, private_dropped=0, depth_dropped=0
+            bad_url=0, scheme_dropped=0, private_dropped=0,
+            dns_private_dropped=0, depth_dropped=0,
         )
         for cand in raw_candidates:
             c = canonicalize_one(cand["raw"], cand.get("base"))
@@ -154,6 +157,9 @@ class Simulator:
                 continue
             if is_private_host_py(c.host):
                 counters["private_dropped"] += 1
+                continue
+            if resolved_private_py(fake_dns_ip_py(c.host)):
+                counters["dns_private_dropped"] += 1
                 continue
             if cand["depth"] > cfg.max_depth:
                 counters["depth_dropped"] += 1
@@ -198,6 +204,7 @@ class Simulator:
         self._metric(wave, "bad_url", counters["bad_url"])
         self._metric(wave, "scheme_dropped", counters["scheme_dropped"])
         self._metric(wave, "private_dropped", counters["private_dropped"])
+        self._metric(wave, "dns_private_dropped", counters["dns_private_dropped"])
         self._metric(wave, "depth_dropped", counters["depth_dropped"])
         self._metric(wave, "wave_dup_dropped", wave_dups)
         self._metric(wave, "seen_dup_dropped", seen_dups)
@@ -236,6 +243,14 @@ class Simulator:
             if self.robots_state[h]["fetched_wave"] == wave and before != wave:
                 fresh += 1
         self._metric(wave, "robots_fetched", fresh)
+
+        # DNS prefetch/cache (same host set as the robots refresh)
+        new_dns = 0
+        for h in hosts:
+            if h not in self.dns_cache:
+                self.dns_cache[h] = (fake_dns_ip_py(h), wave)
+                new_dns += 1
+        self._metric(wave, "dns_resolved", new_dns)
 
         allowed: list[Item] = []
         denied = 0
@@ -385,6 +400,9 @@ class Simulator:
             frontier = self.run_wave(wave, frontier)
             wave += 1
         self.res.waves = wave - 1
+        self.res.dns_cache = sorted(
+            (h, ip, w) for h, (ip, w) in self.dns_cache.items()
+        )
         return self.res
 
 

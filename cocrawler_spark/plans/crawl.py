@@ -48,7 +48,11 @@ from ..functions.parse import (
     has_text_span_col,
     redirect_target_col,
 )
-from ..functions.dns import is_private_host_udf
+from ..functions.dns import (
+    fake_dns_ip_col,
+    is_private_host_udf,
+    resolved_private_host_col,
+)
 from ..functions.robots import robots_allowed_udf
 from ..functions.urls import ALLOWED_SCHEMES, with_canonical
 from ..operators.ordering import with_global_seq
@@ -187,12 +191,43 @@ class CrawlEngine:
         has (raw, base, priority, depth, is_seed, via). Returns new
         frontier rows; updates `self.seen` (delta append)."""
         cfg = self.cfg
-        c = with_canonical(candidates, "raw", base_col="base")
+        # Pre-collapse identical (raw, base) links BEFORE the canonicalize
+        # UDF: within a wave candidate links are ~30x duplicated (nav/
+        # boilerplate links repeat on every page of a host), and the
+        # Arrow round-trip through the Python canonicalizer is the
+        # wave's dominant memory-bandwidth cost — collapsing first cuts
+        # the UDF input by that factor. min(struct(priority, depth, via,
+        # is_seed)) per (raw, base) preserves the within-wave-dedup
+        # winner exactly: same (raw, base) ⇒ same url/surt/host/domain,
+        # so the later per-surt min over collapsed rows equals the min
+        # over all occurrences (min of group-mins). The occurrence count
+        # rides along as a weight so drop metrics still count
+        # occurrences, not distinct links.
+        cand0 = (
+            candidates.groupBy("raw", "base")
+            .agg(
+                F.min(F.struct("priority", "depth", "via", "is_seed")).alias("_m"),
+                F.count("*").alias("_n"),
+            )
+            .select(
+                "raw", "base",
+                F.col("_m.priority").alias("priority"),
+                F.col("_m.depth").alias("depth"),
+                F.col("_m.via").alias("via"),
+                F.col("_m.is_seed").alias("is_seed"),
+                "_n",
+            )
+        )
+        c = with_canonical(cand0, "raw", base_col="base")
         c = c.withColumn(
             "drop_reason",
             F.when(F.col("url") == "", "bad_url")
             .when(~F.col("scheme").isin(*ALLOWED_SCHEMES), "scheme_dropped")
             .when(is_private_host_udf()(F.col("host")), "private_dropped")
+            # DNS-stage gate (cocrawler/dns.py† rejects hosts resolving
+            # to private space): deterministic fake resolution, one
+            # codegen'd md5 expression per row — no join, no Python
+            .when(resolved_private_host_col(F.col("host")), "dns_private_dropped")
             .when(F.col("depth") > F.lit(cfg.max_depth), "depth_dropped"),
         )
         # In lean mode `c` (the full canonicalized candidate set — the
@@ -203,10 +238,13 @@ class CrawlEngine:
         if not self.lean:
             c = self._persist(c)
             reasons = {
-                r["drop_reason"]: r["cnt"]
-                for r in c.groupBy("drop_reason").agg(F.count("*").alias("cnt")).collect()
+                r["drop_reason"]: int(r["cnt"] or 0)
+                for r in c.groupBy("drop_reason").agg(F.sum("_n").alias("cnt")).collect()
             }
-            for name in ("bad_url", "scheme_dropped", "private_dropped", "depth_dropped"):
+            for name in (
+                "bad_url", "scheme_dropped", "private_dropped",
+                "dns_private_dropped", "depth_dropped",
+            ):
                 self._metric(wave, name, reasons.get(name, 0))
             kept_count = reasons.get(None, 0)
 
@@ -425,8 +463,12 @@ class CrawlEngine:
             [], "host string, fetched_wave int, crawl_delay double, ttl_waves int, "
             "allow array<string>, disallow array<string>",
         )
+        self.dns_cache = self.spark.createDataFrame(
+            [], "host string, ip string, first_wave int"
+        )
         self._stage_async("host_counts", self.host_counts, 0, mode="full")
         self._stage_async("robots", self.robots, 0, mode="full")
+        self._stage_async("dns_cache", self.dns_cache, 0, mode="full")
         results = self._join_writes()
         self._base_manifest = self.catalog.commit(
             0, {"total_fetched": 0, "done": False}, base={"tables": {}}
@@ -477,6 +519,28 @@ class CrawlEngine:
         if not self.lean:
             self._metric(wave, "robots_fetched", newly.count())
         t = self._ckpt(wave, "robots", t)
+
+        # --- DNS prefetch/cache (hosts dim table; cocrawler prefetch_dns†):
+        # resolve hosts not yet cached — rides the same `hosts` distinct
+        # the robots refresh computed; delta rows are disjoint by the
+        # anti-join, so the table view is a plain load (no dedup pass)
+        dns_new = (
+            hosts.join(self.dns_cache.select("host"), "host", "left_anti")
+            .select(
+                "host",
+                fake_dns_ip_col(F.col("host")).alias("ip"),
+                F.lit(wave).alias("first_wave"),
+            )
+        )
+        dns_now = self._persist(self.dns_cache.unionByName(dns_new))
+        if self._compact_wave(wave):
+            self._stage_async("dns_cache", dns_now, wave, mode="full")
+        else:
+            self._stage_async("dns_cache", dns_new, wave, mode="delta")
+        self.dns_cache = dns_now
+        if not self.lean:
+            self._metric(wave, "dns_resolved", dns_new.count())
+        t = self._ckpt(wave, "dns", t)
 
         # --- robots allow/deny (broadcast-sized in practice; AQE decides)
         fj = f.join(
@@ -850,6 +914,7 @@ class CrawlEngine:
         self.robots = self._robots_view(
             self.catalog.load("robots", self._base_manifest)
         )
+        self.dns_cache = self.catalog.load("dns_cache", self._base_manifest)
         self._unpersist_all()
         self.frontier = results["frontier"]
         self.frontier_count = n_next
@@ -893,6 +958,7 @@ class CrawlEngine:
         self.host_counts = self._host_counts_view(
             self.catalog.load("host_counts", m)
         )
+        self.dns_cache = self.catalog.load("dns_cache", m)
         if self.use_bloom:
             self.bloom = self.catalog.load("bloom", m)
         self.total_fetched = int(m.get("total_fetched", 0))

@@ -15,6 +15,10 @@ codec itself is STUBBED (this container ships no image/audio libs):
 
   * decode_stub=True (default) derives a deterministic fake
     feature/pixel payload from the content hash — stable for tests.
+    The stub hash is md5 (not sha1) so every derived value — meta
+    fields, features, frame timestamps — has an exact DuckDB-SQL twin
+    (DuckDB has md5() but no sha1()); the asset/meta/feature queries
+    are graded by the driver's oracle like any other operator.
   * decode_stub=False raises NotImplementedError at the exact call
     site where Pillow/torchaudio/pyav would plug in.
 
@@ -49,8 +53,10 @@ _EXT_KIND = {"png": "image", "jpg": "image", "css": "text_asset", "js": "text_as
 
 def synth_assets_from_documents(documents: DataFrame) -> DataFrame:
     """Deterministic fake asset table from the corpus's media spans:
-    content = repeated sha1 bytes of the ref (stands in for real bytes),
-    meta derived from the same hash. Pure JVM except the byte synth."""
+    content = repeated md5 bytes of the ref (stands in for real bytes),
+    meta derived from the same hash. Pure JVM except the byte synth.
+    Graded by the driver oracle as `media_assets_meta` (meta columns
+    reproduced in DuckDB from md5 hex)."""
     refs = (
         documents.select(
             F.col("doc_id"),
@@ -67,7 +73,7 @@ def synth_assets_from_documents(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                h = hashlib.sha1(r.asset_id.encode()).digest()
+                h = hashlib.md5(r.asset_id.encode()).digest()
                 ext = r.asset_id.rsplit(".", 1)[-1]
                 kind = _EXT_KIND.get(ext, "blob")
                 n = 256 + h[0] * 7
@@ -101,8 +107,10 @@ def extract_features(
     """(asset_id, kind, feature array<float>) via Arrow-batched mapInPandas.
 
     Real pipeline shape; stubbed codec. The fake feature is the first
-    `dim` bytes of sha1(content) scaled to [0,1) — deterministic, so
-    downstream similarity-search tests are stable.
+    `dim` bytes of the content blob scaled to [0,1) — a real data
+    dependence on the binary column (the bytes stream through Arrow),
+    and since the synthetic content is repeated md5(asset_id) the
+    values have an exact DuckDB twin (`media_feature_extract`).
     """
     src = assets.select("asset_id", "kind", "content").repartition("asset_id")
 
@@ -115,8 +123,9 @@ def extract_features(
                 )
             out = []
             for r in pdf.itertuples(index=False):
-                d = hashlib.sha1(bytes(r.content)).digest()
-                vec = (np.frombuffer((d * ((dim // 20) + 1))[:dim], dtype=np.uint8)
+                c = bytes(r.content)
+                d = (c * ((dim // max(len(c), 1)) + 1))[:dim]
+                vec = (np.frombuffer(d, dtype=np.uint8)
                        .astype(np.float32) / 255.0)
                 out.append({"asset_id": r.asset_id, "kind": r.kind,
                             "feature": vec.tolist()})
@@ -172,7 +181,7 @@ def sample_frames(
                 dur = int(meta.get("duration_ms") or 0)
                 c = bytes(r.content)
                 for i, ts in enumerate(range(0, max(dur, 1), every_ms)):
-                    d = hashlib.sha1(c + ts.to_bytes(4, "big")).digest()
+                    d = hashlib.md5(c + ts.to_bytes(4, "big")).digest()
                     out.append(
                         {"asset_id": r.asset_id, "frame_idx": i, "ts_ms": ts,
                          "frame": d}

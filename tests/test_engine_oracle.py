@@ -63,6 +63,12 @@ def assert_engine_matches_oracle(engine, res):
         for r in engine.output("facets").collect()
     )
     assert got_fc == sorted(res.facets)
+    # DNS cache (hosts dim: fake-resolved ip + first wave seen)
+    got_dns = sorted(
+        (r["host"], r["ip"], r["first_wave"])
+        for r in engine.output("dns_cache").collect()
+    )
+    assert got_dns == res.dns_cache
     # redirects
     got_rd = sorted(
         (r["wave"], r["from_url"], r["from_surt"], r["to_url"], r["to_surt"], r["kind"])

@@ -63,3 +63,35 @@ def test_udf_parity(spark):
     for r in df.collect():
         assert r["priv"] == is_private_host_py(r["host"])
         assert r["rd"] == registered_domain_py(r["host"])
+
+
+def test_fake_dns_parity(spark):
+    """JVM fake-resolver + private gate == Python twin (the simulator
+    uses the Python side; the engine uses the JVM side)."""
+    from pyspark.sql import functions as F
+
+    from cocrawler_spark.functions.dns import (
+        fake_dns_ip_col,
+        fake_dns_ip_py,
+        resolved_private_host_col,
+        resolved_private_py,
+    )
+
+    hosts = [f"h{i}.test" for i in range(200)] + ["example.com", "a.b.co.uk"]
+    df = spark.createDataFrame([(h,) for h in hosts], ["host"]).select(
+        "host",
+        fake_dns_ip_col(F.col("host")).alias("ip"),
+        resolved_private_host_col(F.col("host")).alias("priv"),
+    )
+    rows = df.collect()
+    assert len(rows) == len(hosts)
+    n_priv = 0
+    for r in rows:
+        assert r["ip"] == fake_dns_ip_py(r["host"])
+        assert r["priv"] == resolved_private_py(r["ip"])
+        n_priv += int(r["priv"])
+    # the gate must have real work: some hosts do resolve private
+    some_priv = any(
+        resolved_private_py(fake_dns_ip_py(f"h{i}.test")) for i in range(2000)
+    )
+    assert some_priv
