@@ -87,10 +87,26 @@ class CrawlEngine:
         broadcast_fetch: bool = True,
         broadcast_fetch_max: int = 2_000_000,
         state_compact_every: int = 8,
+        copartition_docs: bool = False,
+        docs_partitions: int = 0,
     ):
         self.spark = spark
         self.cfg = cfg
         self.documents = documents
+        # Co-partitioned fetch join (the storage-partitioned-join analog;
+        # on a real cluster this is the Iceberg bucket layout): hash the
+        # corpus by doc_id ONCE and keep it on local disk. Every wave's
+        # fetch join then shuffles only the frontier slice — no per-wave
+        # driver broadcast (whose build is serial and does not shrink
+        # with executors) and the page bodies never move again.
+        self.copartition_docs = copartition_docs
+        if copartition_docs:
+            p = docs_partitions or int(
+                spark.conf.get("spark.sql.shuffle.partitions")
+            )
+            self.documents = documents.repartition(p, "doc_id").persist(
+                StorageLevel.DISK_ONLY
+            )
         self.robots_src = robots_src
         self.seeds = seeds
         self.use_bloom = use_bloom
@@ -300,6 +316,16 @@ class CrawlEngine:
         if self.use_bloom and self.bloom is not None:
             from ..state.bloom import probe_bloom
 
+            # Materialize the candidate chain ONCE before the probe: the
+            # slim probe references `deduped` twice (the (host_bucket,
+            # surt) cogroup side AND the verdict rejoin side) with
+            # different column pruning, so without an eager barrier the
+            # whole pre-collapse → canonicalize → dedup chain — the
+            # wave's dominant cost — is planned and computed twice
+            # inside the probe job (no exchange reuse across the two
+            # differently-pruned subtrees).
+            deduped = self._persist(deduped)
+            deduped.count()
             probed = self._persist(
                 probe_bloom(deduped, self.bloom, self.bloom_buckets)
             )
@@ -648,7 +674,32 @@ class CrawlEngine:
         # column would strain driver memory / Spark's broadcast limit,
         # so fall back to the shuffle left join automatically.
         use_bcast = self.broadcast_fetch and n_fetch0 <= self.broadcast_fetch_max
-        if use_bcast:
+        if self.copartition_docs:
+            # corpus is hash-partitioned by doc_id and pinned to local
+            # disk: the semi-join streams it in place (shuffle_hash hint
+            # builds the hash table on the slim URL side — no sort, no
+            # corpus exchange, no driver broadcast), then the distillate
+            # meets the frontier with one small shuffle of the frontier.
+            urls = fetchable.select(F.col("url").alias("_fu"))
+            matched = docs.join(
+                urls.hint("shuffle_hash"),
+                docs["doc_id"] == F.col("_fu"),
+                "left_semi",
+            )
+            distilled = matched.select(
+                "doc_id",
+                redirect_target_col(F.col("spans")).alias("_redirect_tgt"),
+                content_sha1_col(F.col("spans")).alias("_sha1_raw"),
+                F.size(F.col("spans")).cast("int").alias("_n_spans_raw"),
+                has_text_span_col(F.col("spans")).alias("_has_text"),
+                extract_outlinks_udf()(F.col("spans")).alias("outlinks"),
+            )
+            fx = fetchable.join(
+                distilled.hint("shuffle_hash"),
+                fetchable["url"] == distilled["doc_id"],
+                "left",
+            )
+        elif use_bcast:
             urls = fetchable.select(F.col("url").alias("_fu"))
             matched = docs.join(
                 F.broadcast(urls), docs["doc_id"] == F.col("_fu"), "left_semi"

@@ -156,6 +156,29 @@ def test_tiny_equality_salted_no_bloom(spark, tiny_web, tmp_path):
     assert_engine_matches_oracle(engine, simulate(tiny_web, CFG))
 
 
+def test_tiny_equality_copartition_fetch(spark, tiny_web, tmp_path):
+    """copartition_docs=True (the storage-partitioned fetch-join analog:
+    corpus hash-bucketed by doc_id once, no per-wave broadcast) is a
+    physical-plan choice only — bit-identical to the oracle."""
+    from cocrawler_spark.sources.corpus import (
+        read_documents, read_robots_src, read_seed_parquet,
+    )
+    from cocrawler_spark.synth import write_parquet
+
+    paths = write_parquet(tiny_web, str(tmp_path / "web"))
+    engine = CrawlEngine(
+        spark, CFG,
+        documents=read_documents(spark, paths["documents"]),
+        robots_src=read_robots_src(spark, paths["robots_src"]),
+        seeds=read_seed_parquet(spark, paths["seeds"]),
+        state_dir=str(tmp_path / "state"),
+        copartition_docs=True,
+    )
+    engine.run()
+    assert_engine_matches_oracle(engine, simulate(tiny_web, CFG))
+    engine.documents.unpersist()
+
+
 def test_tiny_equality_lean_mode(spark, tiny_web, tmp_path):
     """lean=True (bench mode) skips metrics-only count jobs but must not
     change any crawl decision: order, seen set, content, redirects all

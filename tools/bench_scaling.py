@@ -82,6 +82,7 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         state_dir=state,
         politeness_salt=16,
         lean=True,
+        copartition_docs=True,
     )
     per_wave = []
     t0 = time.time()
