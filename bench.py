@@ -112,6 +112,9 @@ def run_crawl_bench(spark: SparkSession, size: str, waves: int = 3) -> dict:
         seeds=read_seed_parquet(spark, paths["seeds"]),
         state_dir=state,
         lean=True,
+        # parse-once distillate: the corpus spans are scanned once per
+        # crawl, not once per wave (equality-tested vs the oracle)
+        predistill=True,
     )
     t0 = time.time()
     eng.run(max_waves=waves)

@@ -133,6 +133,86 @@ def extract_outlinks_udf():
     return extract
 
 
+_OUTLINK_SQL_TYPE = "array<struct<target:string,kind:string,span_offset:int>>"
+
+
+def extract_outlinks_col(spans: Column) -> Column:
+    """JVM-side twin of extract_outlinks_py — whole-stage codegen, no
+    Python in the loop (parity pinned in tests/test_parse.py against the
+    pandas UDF on the same goldens + synth docs).
+
+    Same semantics, expression by expression:
+    - spans in ascending-offset order (offsets are unique per doc —
+      FIXTURES.md §1 — so comparator stability is moot)
+    - text spans: every href="..." in document order → clean_link →
+      kind='link'; media spans: media_ref → clean_link → kind='embed'
+    - empty targets dropped; per-page first-occurrence dedup by target
+      via a linear aggregate (pages have O(10) links, so the
+      array_contains inner scan is trivial)
+
+    This replaces the engine's hottest pandas UDF: outlink extraction
+    runs once per page over the whole corpus, and the Arrow hand-off of
+    a nested array<struct> column plus per-row Python dict assembly was
+    ~10x the cost of the actual regex work.
+    """
+    srt = spans_sorted_col(spans)
+    per_span = F.transform(
+        srt,
+        lambda s: F.when(
+            s["kind"] == F.lit("text"),
+            F.transform(
+                F.regexp_extract_all(
+                    F.coalesce(s["text"], F.lit("")),
+                    F.lit(r'href\s*=\s*"([^"]*)"'),
+                    F.lit(1),
+                ),
+                lambda t: F.struct(
+                    clean_link_col(t).alias("target"),
+                    F.lit(KIND_LINK).alias("kind"),
+                    s["offset"].cast("int").alias("span_offset"),
+                ),
+            ),
+        )
+        .when(
+            s["kind"] == F.lit("media"),
+            F.array(
+                F.struct(
+                    clean_link_col(F.coalesce(s["media_ref"], F.lit(""))).alias(
+                        "target"
+                    ),
+                    F.lit(KIND_EMBED).alias("kind"),
+                    s["offset"].cast("int").alias("span_offset"),
+                )
+            ),
+        )
+        .otherwise(F.array().cast(_OUTLINK_SQL_TYPE)),
+    )
+    flat = F.filter(
+        F.flatten(per_span),
+        lambda x: x["target"].isNotNull() & (x["target"] != F.lit("")),
+    )
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.array().cast(_OUTLINK_SQL_TYPE).alias("out"),
+    )
+    deduped = F.aggregate(
+        flat,
+        acc0,
+        lambda acc, x: F.when(
+            F.array_contains(acc["seen"], x["target"]), acc
+        ).otherwise(
+            F.struct(
+                F.concat(acc["seen"], F.array(x["target"])).alias("seen"),
+                F.concat(acc["out"], F.array(x)).alias("out"),
+            )
+        ),
+        lambda acc: acc["out"],
+    )
+    return F.when(spans.isNull(), F.array().cast(_OUTLINK_SQL_TYPE)).otherwise(
+        deduped
+    )
+
+
 def spans_sorted_col(spans: Column) -> Column:
     """JVM-side: spans ordered by offset (whole-stage codegen, no UDF)."""
     return F.array_sort(

@@ -78,6 +78,23 @@ import re
 _PCT_RE = re.compile("%([0-9a-fA-F]{2})")
 _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
 
+# Fast lane: the overwhelmingly common URL shape — absolute lowercase
+# http(s), ASCII host without port/userinfo/trailing dot, path without
+# '.', '%', '?' or '#' — canonicalizes to ITSELF (no IDNA, no
+# pct-normalization, no dot segments, no port stripping, no query), so
+# every canonical field falls out of one precompiled regex match plus
+# string slicing, skipping urljoin/urlsplit/IDNA entirely (~20-100x per
+# row). The check lives INSIDE canonicalize_one — not as a Spark-side
+# split — because any DataFrame-level fast/slow branch (filter+union or
+# per-field when()) multiplies the logical plan at every call site,
+# and with several canonicalize sites per wave the added Catalyst
+# analysis/optimization time dwarfs the Python saved (measured: +0.5 s
+# PLANNING per call for the when()-masked variant; the engine re-plans
+# each wave's tree ~10x). Identity of the fast lane is pinned by a
+# hypothesis invariant + goldens in tests/test_urls.py.
+_FAST_URL_RE = r"^(https?)://([a-z0-9-]+(?:\.[a-z0-9-]+)*)((?:/[a-zA-Z0-9_/-]*)?)$"
+_FAST_RE = re.compile(_FAST_URL_RE)
+
 
 def _normalize_pct(component: str) -> str:
     """Normalize percent-encoding: decode escapes of UNRESERVED chars
@@ -163,17 +180,37 @@ class CanonUrl:
         return CanonUrl("", "", "", "", "", "")
 
 
-def canonicalize_one(raw: str, base: Optional[str] = None) -> CanonUrl:
+def canonicalize_one(
+    raw: str, base: Optional[str] = None, *, fast: bool = True
+) -> CanonUrl:
     """Canonicalize one URL (optionally resolving relative to `base`).
 
     Returns CanonUrl.empty() for unusable inputs (no host, unsupported
     scheme for non-http(s) absolute URLs are still returned with their
     scheme so callers can filter — mirroring the reference, where the
     scheme gate lives in add_url†, not in URL parsing).
+
+    `fast=False` disables the _FAST_RE short-circuit (parity tests only
+    — results are identical by the pinned invariant).
     """
     s = clean_link(raw)
     if not s:
         return CanonUrl.empty()
+    if fast:
+        m = _FAST_RE.match(s)
+        if m:
+            # absolute URL ⇒ base resolution is a no-op (urljoin returns
+            # the absolute URL unchanged for http/https)
+            scheme, host = m.group(1), m.group(2)
+            path = m.group(3) or "/"
+            return CanonUrl(
+                url=f"{scheme}://{host}{path}",
+                scheme=scheme,
+                host=host,
+                path=path,
+                query="",
+                surt=",".join(host.split(".")[::-1]) + ")" + path,
+            )
     if base:
         try:
             s = urljoin(base, s)
@@ -311,11 +348,17 @@ def canonicalize_udf():
 
 
 def with_canonical(df, raw_col: str, base_col=None, prefix: str = ""):
-    """Attach canonical columns url/scheme/host/path/query/surt to df.
+    """Attach canonical columns url/scheme/host/path/query/surt/domain.
 
     One Arrow round trip for the whole struct, then JVM-side field
     extraction — the struct is computed once (Catalyst CSE on the UDF
-    call would not be guaranteed across multiple selects).
+    call would not be guaranteed across multiple selects). The plan
+    stays a single linear ArrowEvalPython node: the common-shape fast
+    lane lives INSIDE canonicalize_one (see _FAST_RE), not in the plan
+    — a DataFrame-level fast/slow split (filter+union, or per-field
+    when() over a masked UDF) was measured to add ~0.5 s of Catalyst
+    planning PER CALL and compounds across the engine's per-wave call
+    sites into multi-minute wave overheads at any scale.
     """
     base = F.col(base_col) if base_col else F.lit(None).cast("string")
     tmp = "_canon_struct"

@@ -89,8 +89,18 @@ class CrawlEngine:
         state_compact_every: int = 8,
         copartition_docs: bool = False,
         docs_partitions: int = 0,
+        predistill: bool = False,
     ):
         self.spark = spark
+        # The engine's per-wave lineage is deep; with AQE on, every
+        # stage completion regenerates a plan-description string from
+        # the full physical tree (AdaptiveSparkPlanExec.onUpdatePlan ->
+        # explainString -> generateTreeString), which becomes a
+        # driver-serial CPU hog that can exceed the actual work of a
+        # wave (observed: two driver threads pegged in string building
+        # while all task slots idled). Nothing in the engine consumes
+        # those strings, so cap them for the whole session.
+        spark.conf.set("spark.sql.maxPlanStringLength", "1024")
         self.cfg = cfg
         self.documents = documents
         # Co-partitioned fetch join (the storage-partitioned-join analog;
@@ -107,6 +117,27 @@ class CrawlEngine:
             self.documents = documents.repartition(p, "doc_id").persist(
                 StorageLevel.DISK_ONLY
             )
+        # Parse-once fetch distillate. The corpus simulates the network:
+        # a real crawler pays fetch+parse once per PAGE FETCHED, but a
+        # per-wave fetch join against the raw corpus pays a full
+        # spans-assembly scan of the ENTIRE web once per WAVE — the
+        # dominant, wave-size-independent cost in profiles (a 24-URL
+        # wave cost the same corpus scan as a 1.5M-URL wave). With
+        # predistill=True the heavy columns are read ONCE for the whole
+        # crawl: one scan computes the per-doc fetch products
+        # (redirect target, sha1, n_spans, has_text, outlinks — each
+        # deterministic per doc), hash-partitioned by doc_id and kept
+        # as a slim cached table; every wave's fetch join is then a
+        # co-partitioned join of two slim tables, proportional to wave
+        # size. This mirrors cocrawler's architecture (fetcher.py† +
+        # burner parse run once per page, never re-parse the web), and
+        # at 10^10 scale it is the difference between reading 100 TB
+        # once and reading it once per wave.
+        self.predistill = predistill
+        self._distillate: DataFrame | None = None
+        self._docs_partitions = docs_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
         self.robots_src = robots_src
         self.seeds = seeds
         self.use_bloom = use_bloom
@@ -162,6 +193,35 @@ class CrawlEngine:
         for df in self._persisted:
             df.unpersist()
         self._persisted = []
+
+    def _get_distillate(self) -> DataFrame:
+        """Build (once) and return the parse-once fetch distillate:
+        (doc_id, _redirect_tgt, _sha1_raw, _n_spans_raw, _has_text,
+        outlinks), hash-partitioned by doc_id and pinned in memory/disk.
+        One full-corpus spans scan per CRAWL instead of per WAVE."""
+        if self._distillate is None:
+            from ..functions.parse import (
+                content_sha1_col,
+                extract_outlinks_col,
+                has_text_span_col,
+                redirect_target_col,
+            )
+
+            d = (
+                self.documents.select(
+                    "doc_id",
+                    redirect_target_col(F.col("spans")).alias("_redirect_tgt"),
+                    content_sha1_col(F.col("spans")).alias("_sha1_raw"),
+                    F.size(F.col("spans")).cast("int").alias("_n_spans_raw"),
+                    has_text_span_col(F.col("spans")).alias("_has_text"),
+                    extract_outlinks_col(F.col("spans")).alias("outlinks"),
+                )
+                .repartition(self._docs_partitions, "doc_id")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            d.count()  # materialize exactly once (never per consumer)
+            self._distillate = d
+        return self._distillate
 
     def _metric(self, wave: int, name: str, value: float, kind: str = "sum"):
         self._metrics_buf.append((wave, name, kind, float(value)))
@@ -674,7 +734,18 @@ class CrawlEngine:
         # column would strain driver memory / Spark's broadcast limit,
         # so fall back to the shuffle left join automatically.
         use_bcast = self.broadcast_fetch and n_fetch0 <= self.broadcast_fetch_max
-        if self.copartition_docs:
+        if self.predistill:
+            # parse-once distillate: both sides are slim; the distillate
+            # is already hash-partitioned by doc_id, so only the wave's
+            # frontier slice shuffles (shuffle_hash — no sort, no
+            # broadcast build, no spans assembly)
+            dist = self._get_distillate()
+            fx = fetchable.join(
+                dist.hint("shuffle_hash"),
+                fetchable["url"] == dist["doc_id"],
+                "left",
+            )
+        elif self.copartition_docs:
             # corpus is hash-partitioned by doc_id and pinned to local
             # disk: the semi-join streams it in place (shuffle_hash hint
             # builds the hash table on the slim URL side — no sort, no

@@ -20,6 +20,10 @@ def spark():
         # many engine runs share this session; reclaim shuffle/broadcast
         # state promptly instead of at the default 30min cleaner tick
         .config("spark.cleaner.periodicGC.interval", "1min")
+        # deep per-wave lineage makes AQE's per-stage plan-string
+        # generation (onUpdatePlan -> explainString) a driver-serial CPU
+        # hog; nothing in the tests consumes those strings
+        .config("spark.sql.maxPlanStringLength", "1024")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )

@@ -179,6 +179,32 @@ def test_tiny_equality_copartition_fetch(spark, tiny_web, tmp_path):
     engine.documents.unpersist()
 
 
+def test_tiny_equality_predistill(spark, tiny_web, tmp_path):
+    """predistill=True (parse-once fetch distillate: one corpus spans
+    scan per crawl, co-partitioned slim fetch joins per wave) is a
+    physical-plan choice only — every fetch product is deterministic
+    per doc, so crawl order, seen set, content digests and outlink
+    sequences stay bit-identical to the oracle."""
+    from cocrawler_spark.sources.corpus import (
+        read_documents, read_robots_src, read_seed_parquet,
+    )
+    from cocrawler_spark.synth import write_parquet
+
+    paths = write_parquet(tiny_web, str(tmp_path / "web"))
+    engine = CrawlEngine(
+        spark, CFG,
+        documents=read_documents(spark, paths["documents"]),
+        robots_src=read_robots_src(spark, paths["robots_src"]),
+        seeds=read_seed_parquet(spark, paths["seeds"]),
+        state_dir=str(tmp_path / "state"),
+        predistill=True,
+    )
+    engine.run()
+    assert_engine_matches_oracle(engine, simulate(tiny_web, CFG))
+    if engine._distillate is not None:
+        engine._distillate.unpersist()
+
+
 def test_tiny_equality_lean_mode(spark, tiny_web, tmp_path):
     """lean=True (bench mode) skips metrics-only count jobs but must not
     change any crawl decision: order, seen set, content, redirects all

@@ -73,3 +73,55 @@ def test_text_of_orders_and_filters():
     # same offset: stable sort keeps input order among equals? offsets differ in practice;
     # here text offset 0 sorts before offset 1 regardless of media interleave
     assert text_of(spans).split() == ["hello", "world"]
+
+
+def test_extract_outlinks_col_parity(spark):
+    """JVM extract_outlinks_col ≡ extract_outlinks_py on goldens + a
+    noise matrix (quotes/backslashes/tabs in hrefs, empty targets,
+    null text, media dups, redirect spans, null spans arrays)."""
+    from pyspark.sql import functions as F
+
+    from cocrawler_spark.functions.parse import extract_outlinks_col
+
+    docs = [
+        [
+            _span("text", 'x <a href="http://b.test/2">l</a> y', offset=2),
+            _span("media", media_ref="http://a.test/s.png", offset=1),
+            _span("text", 'pre <a href="http://a.test/1">a</a> mid '
+                          '<a href="/rel">b</a> post', offset=0),
+        ],
+        [
+            _span("text", '<a href="http://a.test/1">x</a>', offset=0),
+            _span("text", '<a href="http://a.test/1">y</a> '
+                          '<a href="http://a.test/2">z</a>', offset=1),
+            _span("media", media_ref="http://a.test/1", offset=2),
+        ],
+        [
+            _span("text", 'href="  \' http://w.test/p\\\\ \t"', offset=0),
+            _span("text", 'href=""', offset=1),
+            _span("media", media_ref="   ", offset=2),
+            _span("media", media_ref="\thttp://m.test/x\n", offset=3),
+        ],
+        [_span("redirect", "http://t.test/", offset=0)],
+        [_span("text", None, offset=0), _span("other", "x", offset=1)],
+        [],
+    ]
+    rows = [(i, d) for i, d in enumerate(docs)] + [(len(docs), None)]
+    df = spark.createDataFrame(
+        rows,
+        "id int, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        r["id"]: [tuple(o) for o in r["out"]]
+        for r in df.select(
+            "id", extract_outlinks_col(F.col("spans")).alias("out")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        exp = [
+            (o["target"], o["kind"], o["span_offset"])
+            for o in extract_outlinks_py(d)
+        ]
+        assert got[i] == exp, f"doc {i}: {got[i]} != {exp}"
+    assert got[len(docs)] == []

@@ -108,3 +108,46 @@ def test_oracle_seen_monotone_and_politeness_invariants():
         delay = sim.robots_state[host]["crawl_delay"]
         cap = math.ceil(cfg.wave_budget_seconds / delay)
         assert n <= cap
+
+
+# --- JVM fast-path canonicalization invariant (pure-Python check of the
+# claim behind urls._FAST_URL_RE: a fast-shape URL canonicalizes to
+# itself, field by field, so the JVM expressions can skip Python) ---
+
+import re as _re
+
+from cocrawler_spark.functions.domains import registered_domain_py
+from cocrawler_spark.functions.urls import _FAST_URL_RE, canonicalize_one
+
+_LABEL = st.from_regex(r"[a-z0-9-]{1,8}", fullmatch=True)
+_PATHSEG = st.from_regex(r"[a-zA-Z0-9_-]{0,6}", fullmatch=True)
+
+
+@st.composite
+def fast_urls(draw):
+    scheme = draw(st.sampled_from(["http", "https"]))
+    labels = draw(st.lists(_LABEL, min_size=1, max_size=4))
+    nseg = draw(st.integers(0, 4))
+    path = "".join("/" + draw(_PATHSEG) for _ in range(nseg))
+    return f"{scheme}://{'.'.join(labels)}{path}"
+
+
+@given(fast_urls())
+def test_fast_shape_canonicalizes_to_itself(u):
+    """The claim behind the _FAST_RE short-circuit in canonicalize_one:
+    a fast-shape URL canonicalizes to itself under the FULL canonicalizer
+    (fast=False), field by field — so the short-circuit is an identity."""
+    assert _re.match(_FAST_URL_RE, u), u
+    c = canonicalize_one(u, base="http://base.test/dir/x", fast=False)
+    m = _re.match(_FAST_URL_RE, u)
+    scheme, host, rawpath = m.group(1), m.group(2), m.group(3)
+    path = rawpath or "/"
+    assert c.scheme == scheme
+    assert c.host == host
+    assert c.path == path
+    assert c.query == ""
+    assert c.url == f"{scheme}://{host}{path}"
+    assert c.surt == ",".join(reversed(host.split("."))) + ")" + path
+    # domain field parity: the JVM expression mirrors registered_domain_py;
+    # here we pin that the python side is what the engine row would carry
+    assert registered_domain_py(c.host) == registered_domain_py(host)

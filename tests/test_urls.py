@@ -108,3 +108,46 @@ def test_idempotence_samples():
 )
 def test_special_redirect(from_url, to_url, expected):
     assert special_redirect_str(from_url, to_url) == expected
+
+
+def test_canonicalize_fast_lane_parity():
+    """canonicalize_one's _FAST_RE short-circuit must equal the full
+    canonicalizer (fast=False) on every input — including rows that sit
+    just OUTSIDE the fast shape (uppercase, ports, dots, %-escapes,
+    queries, fragments, IDNA, relative links), which must fall through
+    bit-identically."""
+    from cocrawler_spark.functions.urls import canonicalize_one
+
+    raws = [
+        # fast shape
+        "http://h3.test/p/7",
+        "https://www.h0.test/a/b-c_d/",
+        "http://x1999.test/",
+        "http://localhost/x",
+        "http://a.co.uk/path",
+        "http://deep.a.b.co.uk/p",
+        "  http://h1.test/p/1  ",          # strip noise, then fast
+        "http://h1.test//0/x",             # empty segment, no dots: fast
+        # long tail (slow path)
+        "HTTP://H3.TEST/p/7",
+        "http://h3.test:80/p/7",
+        "http://h3.test:8080/p/7",
+        "http://h3.test/p/7?b=2&a=1",
+        "http://h3.test/p/./7",
+        "http://h3.test/p/%7e/7",
+        "http://h3.test/p/7#frag",
+        "http://bücher.test/p",
+        "/rel/path",
+        "page.html",
+        "mailto:x@y.test",
+        "",
+    ]
+    base = "http://base.test/dir/page.html"
+    for raw in raws:
+        assert canonicalize_one(raw, base) == canonicalize_one(
+            raw, base, fast=False
+        ), raw
+        # seed-style (no base) call path too
+        assert canonicalize_one(raw) == canonicalize_one(
+            raw, fast=False
+        ), raw

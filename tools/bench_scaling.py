@@ -26,6 +26,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# All bench I/O (synthetic corpus, engine state tables, shuffle/local
+# dirs) lives on tmpfs, not the sandbox block device. The sandbox disk
+# reads at ~20 MB/s cold and its buffered-write path is similarly slow —
+# two orders of magnitude below any real executor's local NVMe — so on
+# disk the measurement degenerates into "how fast is one shared virtio
+# device", which neither leg's core count can change. tmpfs is the
+# honest analog of executor-local storage: both legs see identical,
+# core-count-independent byte latency, and the measured difference is
+# the compute + shuffle scaling the north rule asks about.
+BENCH_ROOT = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/spark_graft_bench")
+
 
 def run_crawl(cpus: int, size: str, waves: int) -> dict:
     from pyspark.sql import SparkSession
@@ -54,6 +65,16 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         # + page cache for the corpus = host-level reclaim churn that
         # randomly tanks whole waves at high parallelism
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # The UI is off, but every AQE stage completion still posts a
+        # SparkListenerSQLAdaptiveExecutionUpdate whose planDescription
+        # is regenerated from the FULL physical plan tree. With the
+        # engine's deep per-wave lineage that string generation becomes
+        # a driver-serial, parallelism-independent CPU hog (observed:
+        # two driver threads pegged in TreeNode.generateTreeString while
+        # all task slots idled). Cap the string; nothing consumes it.
+        .config("spark.sql.maxPlanStringLength", "1024")
+        # shuffle files + spills on tmpfs (see BENCH_ROOT note)
+        .config("spark.local.dir", os.path.join(BENCH_ROOT, f"local_{cpus}"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -62,16 +83,16 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
 
     if size in XL_SIZES:
         paths = generate_parquet_spark(
-            spark, os.path.join(REPO, ".data", "benchweb"), size=size, seed=42
+            spark, os.path.join(BENCH_ROOT, "benchweb"), size=size, seed=42
         )
     else:
         paths = generate_parquet(
-            os.path.join(REPO, ".data", "benchweb"), size=size, seed=42
+            os.path.join(BENCH_ROOT, "benchweb"), size=size, seed=42
         )
     cfg = CrawlConfig(
         max_depth=5, wave_budget_seconds=1e9, max_waves=waves, flaky_mod=10
     )
-    state = os.path.join(REPO, ".data", f"scalestate_{size}_{cpus}")
+    state = os.path.join(BENCH_ROOT, f"scalestate_{size}_{cpus}")
     shutil.rmtree(state, ignore_errors=True)
     eng = CrawlEngine(
         spark,
@@ -82,7 +103,19 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         state_dir=state,
         politeness_salt=16,
         lean=True,
-        copartition_docs=True,
+        # copartition_docs stays OFF for the single-box measurement:
+        # it replaces the per-wave compressed parquet scan with a
+        # DISK_ONLY columnar cache that is ~3x larger uncompressed —
+        # on one shared disk the cache write alone is slower than all
+        # five waves of broadcast-mode fetch joins (observed: executors
+        # pegged in DiskStore.put for minutes). The mode is equality-
+        # tested and remains the storage-partitioned-join seam for real
+        # clusters, where "disk" is each executor's local SSD and the
+        # corpus layout is an Iceberg bucket spec, not a cache.
+        copartition_docs=False,
+        # parse-once distillate: fetch+parse paid once per page (like a
+        # real crawler), not one full-corpus spans scan per wave
+        predistill=True,
     )
     per_wave = []
     t0 = time.time()
@@ -103,6 +136,10 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
     total_sec = time.time() - t0
     total_fetched = eng.total_fetched
     spark.stop()
+    # free tmpfs before the next leg: state tables and shuffle dirs are
+    # per-leg scratch; only the generated corpus is shared
+    shutil.rmtree(state, ignore_errors=True)
+    shutil.rmtree(os.path.join(BENCH_ROOT, f"local_{cpus}"), ignore_errors=True)
     tail = per_wave[1:] if len(per_wave) > 1 else per_wave
     urls = sum(p["urls"] for p in tail)
     sec = sum(p["sec"] for p in tail)
@@ -117,6 +154,53 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         "steady_urls_per_sec": round(urls / sec, 2) if sec else 0.0,
         "last_wave_urls_per_sec": per_wave[-1]["urls_per_sec"] if per_wave else 0.0,
     }
+
+
+def pregenerate(size: str):
+    """Generate the synthetic web once, unpinned, at full parallelism.
+
+    Generation is a fixture cost, not part of the measurement (each
+    leg's wave clock starts after it); running it inside the pinned
+    local[8] leg serializes a ~4 GB+ corpus build onto 8 cores for no
+    measurement benefit. The generator's marker file makes this
+    idempotent — both legs then reuse the parquet."""
+    submit = shutil.which("spark-submit") or "spark-submit"
+    cmd = [
+        submit,
+        "--master", "local[32]",
+        "--driver-memory", "48g",
+        os.path.join(REPO, "tools", "bench_scaling.py"),
+        "--gen", size,
+    ]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    err = os.path.join(REPO, ".data", f"gen_{size}.err")
+    subprocess.run(cmd, check=True, cwd=REPO, env=env,
+                   stdout=subprocess.DEVNULL, stderr=open(err, "w"))
+
+
+def run_gen(size: str):
+    from pyspark.sql import SparkSession
+
+    from cocrawler_spark.synth import generate_parquet
+    from cocrawler_spark.synth_spark import XL_SIZES, generate_parquet_spark
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName(f"gen-{size}")
+        .config("spark.local.dir", os.path.join(BENCH_ROOT, "local_gen"))
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if size in XL_SIZES:
+        generate_parquet_spark(
+            spark, os.path.join(BENCH_ROOT, "benchweb"), size=size, seed=42
+        )
+    else:
+        generate_parquet(os.path.join(BENCH_ROOT, "benchweb"), size=size, seed=42)
+    spark.stop()
 
 
 def run_level_subprocess(cpus: int, size: str, waves: int, pin_base: int = 0) -> dict:
@@ -229,6 +313,11 @@ def write_report(size: str, waves: int, r8: dict, r32: dict):
 
 
 def main():
+    os.makedirs(BENCH_ROOT, exist_ok=True)
+    os.makedirs(os.path.join(REPO, ".data"), exist_ok=True)
+    if len(sys.argv) > 1 and sys.argv[1] == "--gen":
+        run_gen(sys.argv[2])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
         cpus, size, waves, out = (
             int(sys.argv[2]), sys.argv[3], int(sys.argv[4]), sys.argv[5]
@@ -241,6 +330,7 @@ def main():
     waves = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     n1 = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n2 = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    pregenerate(size)
     r8 = run_level_subprocess(n1, size, waves)
     r32 = run_level_subprocess(n2, size, waves)
     write_report(size, waves, r8, r32)
