@@ -49,6 +49,9 @@ from cocrawler_spark.operators.redirects import special_redirect_col
 from cocrawler_spark.operators.similarity import (
     cosine_topk_bruteforce,
     embedding_neardup_pairs,
+    ivf_ann_topk,
+    ivf_cluster_sql,
+    ivf_dots_sql,
     lsh_ann_topk,
     lsh_bucket_sql,
 )
@@ -496,6 +499,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_lsh_bucketed"] = ann_lsh
+
+    def ann_ivf(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return ivf_ann_topk(
+            emb, emb.filter(F.col("vec_id") < 8),
+            k=5, n_centroids=8, nprobe=2, round_to=4,
+        )
+
+    q["ann_ivf_topk"] = ann_ivf
 
     def dedup_embedding_neardup(spark, sf):
         # default = scale path: LSH bucket equi-join, no cross product
@@ -1022,6 +1034,37 @@ scored AS (
          list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
   FROM e JOIN q ON e.bucket = q.bucket
   WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS "rank",
+         ROUND(cos, 4) AS cosine
+  FROM scored)
+SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", cosine
+FROM ranked WHERE "rank" <= 5"""
+
+    # IVF ANN: fixed coarse quantizer — the Spark plan carries the
+    # centroid components as literals; the oracle recomputes them from
+    # the same md5 formula in SQL (ivf_dot_sql), assigns each corpus
+    # vector to its argmax-dot cluster, probes each query's nprobe=2
+    # best clusters, exact-cosine-ranks the cluster-local candidates.
+    _ivf_dots = ivf_dots_sql("embedding", 8)
+    _ivf_cluster = ivf_cluster_sql("embedding", 8)
+    s["ann_ivf_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding, {_ivf_cluster} AS cluster FROM embeddings),
+qd AS (SELECT vec_id AS query_id, embedding AS qv, {_ivf_dots} AS dots
+       FROM embeddings WHERE vec_id < 8),
+qp AS (
+  SELECT query_id, qv, cl.c AS cluster
+  FROM qd CROSS JOIN (SELECT UNNEST(range(8)) AS c) cl
+  WHERE list_sum(list_transform(range(8), c2 ->
+          CASE WHEN dots[c2 + 1] > dots[cl.c + 1]
+                 OR (dots[c2 + 1] = dots[cl.c + 1] AND c2 < cl.c)
+               THEN 1 ELSE 0 END)) < 2),
+scored AS (
+  SELECT qp.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(qp.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM e JOIN qp ON e.cluster = qp.cluster
+  WHERE e.vec_id <> qp.query_id),
 ranked AS (
   SELECT query_id, neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS "rank",

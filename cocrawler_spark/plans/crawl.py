@@ -279,16 +279,44 @@ class CrawlEngine:
         # over all occurrences (min of group-mins). The occurrence count
         # rides along as a weight so drop metrics still count
         # occurrences, not distinct links.
+        # Base-independence collapse key: for a link whose cleaned form
+        # is already absolute http(s), `base` does not influence
+        # canonicalization (urljoin of an absolute URL is the identity —
+        # pinned by a hypothesis invariant in tests/test_properties.py),
+        # but keeping it in the key makes every (raw, base) pair unique
+        # (base is the linking page) and the "collapse" collapses
+        # NOTHING: measured on the xl bench web, 91.0M candidate links
+        # pre-collapsed to 91.0M rows, so the canonicalize UDF, the
+        # private-host gates and the per-surt dedup all ran at 35x their
+        # necessary input. Nulling base for absolute links restores the
+        # intended collapse (91.0M -> ~2.6M distinct) — the boilerplate
+        # nav-link duplication IS per-raw, not per-(raw, base).
+        # `depth` stays IN the key: the depth gate below runs per
+        # collapsed row × weight, so merging occurrences with different
+        # depths would gate them all at the min depth and shift
+        # depth-dropped weight into wave_dup_dropped (caught by the
+        # oracle metric-equality suite). Depth is bounded by max_depth,
+        # so the key is at most (max_depth+1)× finer than raw alone.
+        from ..functions.urls import clean_link_col
+
+        candidates = candidates.withColumn(
+            "base",
+            F.when(
+                clean_link_col(F.coalesce(F.col("raw"), F.lit(""))).rlike(
+                    "^https?://"
+                ),
+                F.lit(None).cast("string"),
+            ).otherwise(F.col("base")),
+        )
         cand0 = (
-            candidates.groupBy("raw", "base")
+            candidates.groupBy("raw", "base", "depth")
             .agg(
-                F.min(F.struct("priority", "depth", "via", "is_seed")).alias("_m"),
+                F.min(F.struct("priority", "via", "is_seed")).alias("_m"),
                 F.count("*").alias("_n"),
             )
             .select(
-                "raw", "base",
+                "raw", "base", "depth",
                 F.col("_m.priority").alias("priority"),
-                F.col("_m.depth").alias("depth"),
                 F.col("_m.via").alias("via"),
                 F.col("_m.is_seed").alias("is_seed"),
                 "_n",
@@ -373,6 +401,9 @@ class CrawlEngine:
             "url", "surt", "host", "path", "priority", "depth",
             F.lit(0).alias("tries"), "is_seed", "via", "domain",
         )
+        import time as _time
+
+        _t0 = _time.time()
         if self.use_bloom and self.bloom is not None:
             from ..state.bloom import probe_bloom
 
@@ -386,6 +417,7 @@ class CrawlEngine:
             # differently-pruned subtrees).
             deduped = self._persist(deduped)
             deduped.count()
+            _t0 = self._ckpt(wave, "cand:chain", _t0)
             probed = self._persist(
                 probe_bloom(deduped, self.bloom, self.bloom_buckets)
             )
@@ -399,6 +431,7 @@ class CrawlEngine:
             # concurrent consumers. One count() serializes it to
             # exactly-once; everything downstream rides the cache.
             dd = probed.count()
+            _t0 = self._ckpt(wave, "cand:probe", _t0)
             sure_new = probed.filter(~F.col("_maybe")).drop("_maybe")
             maybe_seen = probed.filter(F.col("_maybe")).drop("_maybe")
             checked = self._anti_seen(maybe_seen)
@@ -406,10 +439,12 @@ class CrawlEngine:
         else:
             deduped = self._persist(deduped)
             dd = deduped.count()
+            _t0 = self._ckpt(wave, "cand:chain", _t0)
             new_rows = self._anti_seen(deduped)
         new_rows = self._persist(new_rows.select(*out_cols))
         # cheap now (filters + broadcast anti-join over the cached barrier)
         new_count = new_rows.count()
+        _t0 = self._ckpt(wave, "cand:anti+new", _t0)
         if not self.lean:
             self._metric(wave, "wave_dup_dropped", kept_count - dd)
             self._metric(wave, "seen_dup_dropped", dd - new_count)

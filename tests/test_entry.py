@@ -41,7 +41,7 @@ def test_entry_runs(spark):
 @pytest.mark.parametrize(
     "name",
     ["scheme_filter", "seen_anti_join", "politeness_slotting", "dedup_simhash",
-     "text_langid", "ann_topk_bruteforce"],
+     "text_langid", "ann_topk_bruteforce", "ann_ivf_topk"],
 )
 def test_query_vs_duckdb_subset(spark, name):
     import duckdb

@@ -151,3 +151,28 @@ def test_fast_shape_canonicalizes_to_itself(u):
     # domain field parity: the JVM expression mirrors registered_domain_py;
     # here we pin that the python side is what the engine row would carry
     assert registered_domain_py(c.host) == registered_domain_py(host)
+
+
+# --- base-independence of absolute links (the claim behind the engine's
+# collapse-key nulling in _add_candidates: if clean_link(raw) is already
+# absolute http(s), the base URL cannot influence canonicalization) ---
+
+from cocrawler_spark.functions.urls import clean_link
+
+_ABS_HTTP = _re.compile(r"^https?://")
+
+
+@given(
+    st.one_of(
+        st.from_regex(r"https?://[a-z0-9.\-]{1,20}(/[\x20-\x7e]{0,30})?", fullmatch=True),
+        st.text(min_size=0, max_size=40),
+    ),
+    st.sampled_from(
+        ["http://base.test/dir/page.html", "https://b.test/", "http://b.test/a/b/c?q=1"]
+    ),
+)
+def test_absolute_link_ignores_base(raw, base):
+    s = clean_link(raw)
+    if not _ABS_HTTP.match(s):
+        return  # relative or non-http: base may matter — out of scope
+    assert canonicalize_one(raw, base) == canonicalize_one(raw, None), (raw, base)
