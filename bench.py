@@ -43,6 +43,7 @@ HEADLINE = [
     "text_fingerprint",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "per_domain_topk",
     "dns_resolve",
     "media_assets_meta",

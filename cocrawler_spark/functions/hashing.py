@@ -60,6 +60,17 @@ def host_bucket_col(col: Column, num_buckets: int) -> Column:
     return F.pmod(keyed_hash64_col("hostbucket", col), F.lit(num_buckets)).cast("int")
 
 
+def surt_bucket_col(col: Column, num_buckets: int) -> Column:
+    """Bloom-state bucket routed by SURT hash. Host-hash routing carries
+    the web's Zipf host skew into bucket VOLUME (one hot host's entire
+    candidate stream lands in one bucket-task: measured 0.37 scaling
+    efficiency on the probe cogroup from straggler tails); surt-hash is
+    uniform over candidates by construction, so bucket tasks even out.
+    Build and probe must use the same routing — membership is still
+    keyed by the full surt string inside the bitmap."""
+    return F.pmod(keyed_hash64_col("surtbucket", col), F.lit(num_buckets)).cast("int")
+
+
 def is_flaky(url: str, flaky_mod: int) -> bool:
     """Deterministic 'fails first fetch attempt' predicate (config.flaky_mod)."""
     if flaky_mod <= 0:

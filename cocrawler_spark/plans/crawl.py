@@ -239,6 +239,18 @@ class CrawlEngine:
             (name, self._writer.submit(self.catalog.stage, name, df, wave, mode, lineage))
         )
 
+    def _stage_async_fn(self, name, df_fn, wave, mode="delta", lineage=False):
+        """Like _stage_async, but the DataFrame is BUILT inside the
+        writer thread too — for products whose construction itself runs
+        Spark jobs (e.g. the crawl-order global sequence: range
+        sampling + counts collect + rank window) that should overlap
+        the wave's main compute instead of blocking it."""
+
+        def run():
+            return self.catalog.stage(name, df_fn(), wave, mode, lineage)
+
+        self._futures.append((name, self._writer.submit(run)))
+
     def _join_writes(self) -> dict:
         out = {}
         for name, fut in self._futures:
@@ -718,32 +730,64 @@ class CrawlEngine:
         deferred_pol = af.filter(F.col("_class") == "defer").select(*FRONTIER_COLS)
         fetchable0 = af.filter(F.col("_class") == "fetch")
 
-        # --- global crawl order + global page cap (the seq pass already
-        # counts rows per range partition; its sum is the fetchable count)
-        seq_total: dict = {}
-        fseq = with_global_seq(
-            fetchable0.select(*FRONTIER_COLS, "rand"),
-            ["priority", "rand", "surt"],
-            persisted=self._persisted,
-            total_out=seq_total,
-        )
-        n_fetch0 = seq_total["total"]
-        t = self._ckpt(wave, "politeness+seq", t)
+        # --- global crawl order + global page cap
         remaining_global = cfg.max_pages - self.total_fetched
-        n_overflow = max(0, n_fetch0 - remaining_global)
-        if n_overflow:
-            fetchable = self._persist(fseq.filter(F.col("seq") <= remaining_global))
-            overflow = fseq.filter(F.col("seq") > remaining_global).select(*FRONTIER_COLS)
-            deferred = deferred_pol.unionByName(overflow)
-        else:
-            fetchable = fseq
+        if remaining_global >= self.frontier_count:
+            # Deferred-order fast path: fetchable ⊆ this wave's frontier,
+            # so when the remaining global budget covers the whole
+            # frontier the cap cannot bind and the global sequence is
+            # needed only by the crawl_order OUTPUT — no downstream
+            # compute reads it. Its three jobs (range sampling,
+            # per-partition counts collect, rank window) run inside the
+            # async writer, overlapped with the fetch join; the critical
+            # path keeps one count on the cached politeness output
+            # (which the broadcast-size guard needs anyway).
+            fetchable = self._persist(fetchable0.select(*FRONTIER_COLS, "rand"))
+            n_fetch0 = fetchable.count()
+            n_overflow = 0
             deferred = deferred_pol
-        n_deferred = None if self.lean else (n_defer_pol + n_overflow)
 
-        crawl_order_df = fetchable.select(
-            F.lit(wave).alias("wave"), F.col("seq"), F.col("surt"), F.col("url")
-        )
-        self._stage_async("crawl_order", crawl_order_df, wave, mode="delta")
+            def _order_df(fetchable=fetchable, wave=wave):
+                fs = with_global_seq(
+                    fetchable, ["priority", "rand", "surt"],
+                    persisted=self._persisted,
+                )
+                return fs.select(
+                    F.lit(wave).alias("wave"), F.col("seq"),
+                    F.col("surt"), F.col("url"),
+                )
+
+            self._stage_async_fn("crawl_order", _order_df, wave, mode="delta")
+        else:
+            # cap may bind: the seq pass must run on the critical path
+            # (the overflow split below consumes it). Its count pass
+            # doubles as the fetchable count.
+            seq_total: dict = {}
+            fseq = with_global_seq(
+                fetchable0.select(*FRONTIER_COLS, "rand"),
+                ["priority", "rand", "surt"],
+                persisted=self._persisted,
+                total_out=seq_total,
+            )
+            n_fetch0 = seq_total["total"]
+            n_overflow = max(0, n_fetch0 - remaining_global)
+            if n_overflow:
+                fetchable = self._persist(
+                    fseq.filter(F.col("seq") <= remaining_global)
+                )
+                overflow = fseq.filter(
+                    F.col("seq") > remaining_global
+                ).select(*FRONTIER_COLS)
+                deferred = deferred_pol.unionByName(overflow)
+            else:
+                fetchable = fseq
+                deferred = deferred_pol
+            crawl_order_df = fetchable.select(
+                F.lit(wave).alias("wave"), F.col("seq"), F.col("surt"), F.col("url")
+            )
+            self._stage_async("crawl_order", crawl_order_df, wave, mode="delta")
+        t = self._ckpt(wave, "politeness+seq", t)
+        n_deferred = None if self.lean else (n_defer_pol + n_overflow)
 
         # --- fetch = left equi-join on url==doc_id (SURVEY.md §1 row 8);
         # url is unique after dedup so the join has no key skew. The

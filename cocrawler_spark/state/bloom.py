@@ -84,11 +84,16 @@ def m_bits_for(n_items: int) -> int:
 def build_bloom_delta(new_rows: DataFrame, wave: int, num_buckets: int) -> DataFrame:
     """(host_bucket, wave, m_bits, n_items, bitmap) — one row per bucket
     holding this wave's newly-seen surts. Built partition-parallel via
-    applyInPandas over the bucket key (the UDAF-equivalent build)."""
-    from ..functions.hashing import host_bucket_col
+    applyInPandas over the bucket key (the UDAF-equivalent build).
+
+    Buckets are routed by surt hash (not host hash): host routing puts
+    a hot host's whole candidate stream into one probe task — Zipf
+    volume skew straight into straggler tails — while surt hash spreads
+    candidates uniformly. The column keeps its historical name."""
+    from ..functions.hashing import surt_bucket_col
 
     src = new_rows.select(
-        host_bucket_col(F.col("host"), num_buckets).alias("host_bucket"), "surt"
+        surt_bucket_col(F.col("surt"), num_buckets).alias("host_bucket"), "surt"
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -158,13 +163,13 @@ def probe_bloom(
     exchange. Duplicate surts collapse inside the probe task (same surt
     always lands in the same bucket group), keeping the rejoin 1:1.
     """
-    from ..functions.hashing import host_bucket_col
+    from ..functions.hashing import surt_bucket_col
 
     from pyspark.sql.types import StringType, StructField, StructType
 
     cand_cols = candidates.columns
     slim = candidates.select(
-        host_bucket_col(F.col("host"), num_buckets).alias("_hb"), "surt"
+        surt_bucket_col(F.col("surt"), num_buckets).alias("_hb"), "surt"
     )
     out_schema = StructType(
         [StructField("surt", StringType()), StructField("_maybe", BooleanType())]
