@@ -44,7 +44,6 @@ from cocrawler_spark.operators.dedup import (
 from cocrawler_spark.functions.domains import SUFFIXES as _SUFFIXES
 from cocrawler_spark.functions.domains import registered_domain_udf
 from cocrawler_spark.operators.dedup import simhash_candidates
-from cocrawler_spark.operators.ordering import with_global_seq
 from cocrawler_spark.operators.redirects import special_redirect_col
 from cocrawler_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -76,10 +75,13 @@ def _frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     rand = md5-keyed tiebreaker, per-host politeness slot via window,
     global (priority, rand, url) order → top 200 fetchable.
 
-    The global order is the engine's scalable range-partitioned rank
-    (operators/ordering.py: sampled range exchange + per-partition local
-    ranks + driver offset composition) — NOT a single-partition
-    Window.orderBy; the flagship plan contains no global-window sort."""
+    Scale shape: the top-k is `orderBy(...).limit(k)` — Spark plans
+    TakeOrderedAndProject (per-partition bounded heaps + a k-row driver
+    merge), which survives any input size for small k. Only the k
+    surviving rows see a rank window (single 200-row partition by
+    construction). The engine's full-frontier total order — where k is
+    NOT small — uses the range-partitioned rank in operators/ordering.py
+    (with_global_seq) instead; the two tools cover the two regimes."""
     d = _t(spark, sf_dir, "documents")
     f = d.select(
         F.col("doc_id"),
@@ -93,11 +95,10 @@ def _frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = f.withColumn("rn", F.row_number().over(wh)).withColumn(
         "slot", (F.col("rn") - 1) * F.lit(1.0)
     ).filter(F.col("slot") < 8.0)
-    # persisted intermediate lives until session teardown (one small
-    # politeness-filtered slice per call; the driver runs each query once)
-    f = with_global_seq(f, ["priority", "rand", "url"], seq_col="seq")
+    top = f.orderBy("priority", "rand", "url").limit(200)
+    seq_w = Window.orderBy("priority", "rand", "url")
     return (
-        f.filter(F.col("seq") <= 200)
+        top.withColumn("seq", F.row_number().over(seq_w).cast("long"))
         .select("seq", "doc_id", "url", "host", "priority", "rand", "rn", "slot")
     )
 
@@ -500,6 +501,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_bucketed"] = ann_lsh
 
+    def ann_lsh_multiprobe(spark, sf):
+        # hamming-radius-2 multiprobe: recall ~0.04 → ≥0.5 on the
+        # i.i.d. worst case, query-side-only fan-out (corpus untouched)
+        emb = _t(spark, sf, "embeddings")
+        return lsh_ann_topk(
+            emb, emb.filter(F.col("vec_id") < 8),
+            k=5, n_planes=6, round_to=4, multiprobe=2,
+        )
+
+    q["ann_lsh_multiprobe"] = ann_lsh_multiprobe
+
     def ann_ivf(spark, sf):
         emb = _t(spark, sf, "embeddings")
         return ivf_ann_topk(
@@ -601,11 +613,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         a = synth_assets_from_documents(_media_docs(spark, sf))
         f = extract_features(a, dim=16)
         # grade the features as exact bytes (value*255): float32/float64
-        # repr drift across engines can't bite integers
+        # repr drift across engines can't bite integers. Scalar-encoded
+        # ("|"-joined) because the driver harness canonicalizes rows via
+        # a pandas sort that cannot hash array-typed cells — graded
+        # outputs must be scalar columns only (COVERAGE.md §grading).
         return f.select(
             "asset_id", "kind",
-            F.transform(
-                F.col("feature"), lambda x: F.round(x * 255).cast("int")
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.col("feature"),
+                    lambda x: F.round(x * 255).cast("int").cast("string"),
+                ),
             ).alias("feature_bytes"),
         )
 
@@ -1042,6 +1061,31 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", cosine
 FROM ranked WHERE "rank" <= 5"""
 
+    # multiprobe LSH ANN: same hyperplanes, query side probes every
+    # bucket within hamming radius 2 (UNNEST of the xor-mask list);
+    # corpus side keeps one bucket per vector, so pairs appear at most once
+    from cocrawler_spark.operators.similarity import lsh_multiprobe_sql
+
+    s["ann_lsh_multiprobe"] = f"""
+WITH e AS (SELECT vec_id, embedding, {lsh_bucket_sql('embedding', 6)} AS bucket
+           FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id < 8),
+q AS (SELECT query_id, qv,
+             UNNEST({lsh_multiprobe_sql('bucket', 6, 2)}) AS bucket
+      FROM q0),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS "rank",
+         ROUND(cos, 4) AS cosine
+  FROM scored)
+SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", cosine
+FROM ranked WHERE "rank" <= 5"""
+
     # IVF ANN: fixed coarse quantizer — the Spark plan carries the
     # centroid components as literals; the oracle recomputes them from
     # the same md5 formula in SQL (ivf_dot_sql), assigns each corpus
@@ -1136,7 +1180,8 @@ FROM kinds"""
     _feat_list = ", ".join(_hb(i) for i in range(16))
     s["media_feature_extract"] = f"""
 WITH {_media_refs}
-SELECT asset_id, kind, [{_feat_list}] AS feature_bytes FROM kinds"""
+SELECT asset_id, kind,
+       array_to_string([{_feat_list}], '|') AS feature_bytes FROM kinds"""
 
     s["media_frame_sample"] = f"""
 WITH {_media_refs},

@@ -43,6 +43,7 @@ HEADLINE = [
     "text_fingerprint",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "per_domain_topk",
     "dns_resolve",
@@ -59,6 +60,7 @@ def build_session(cpus: int, app: str) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.maxPlanStringLength", "1024")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -34,7 +34,14 @@ from pyspark.sql.types import (
 from .urls import clean_link, clean_link_col
 
 # anchors in text spans carry explicit markup: <a href="...">
-_HREF_RE = re.compile(r'href\s*=\s*"([^"]*)"')
+# Whitespace class is spelled out because Python-re \s on str also
+# matches Unicode whitespace (\xa0, \x85) while Java \s is ASCII-only —
+# the explicit class is identical on both sides, keeping the pandas-UDF
+# and JVM extractors bit-equal on exotic whitespace (ADVICE r2; parity
+# pinned with a \xa0 case in tests/test_parse.py).
+_WS = r"[ \t\r\n\f\x0b]"
+_HREF_PATTERN = f'href{_WS}*={_WS}*"([^"]*)"'
+_HREF_RE = re.compile(_HREF_PATTERN)
 
 KIND_LINK = "link"
 KIND_EMBED = "embed"
@@ -163,7 +170,7 @@ def extract_outlinks_col(spans: Column) -> Column:
             F.transform(
                 F.regexp_extract_all(
                     F.coalesce(s["text"], F.lit("")),
-                    F.lit(r'href\s*=\s*"([^"]*)"'),
+                    F.lit(_HREF_PATTERN),
                     F.lit(1),
                 ),
                 lambda t: F.struct(

@@ -132,6 +132,31 @@ def lsh_bucket_sql(vec_expr: str, n_planes: int = 8, seed: str = "ann") -> str:
     return "CAST((" + " + ".join(terms) + ") AS INT)"
 
 
+def multiprobe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks of every bucket within hamming distance ≤ radius of the
+    query's own bucket (mask 0 first), in deterministic order: by
+    popcount, then numeric value. Probe count = Σ_{i≤r} C(n_planes, i)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, min(radius, n_planes) + 1):
+        masks += sorted(
+            sum(1 << p for p in combo)
+            for combo in combinations(range(n_planes), r)
+        )
+    return masks
+
+
+def lsh_multiprobe_sql(bucket_expr: str, n_planes: int, radius: int) -> str:
+    """DuckDB list of probed buckets (all hamming-≤radius neighbors) —
+    the twin of the multiprobe explode in lsh_ann_topk."""
+    items = [
+        bucket_expr if m == 0 else f"xor({bucket_expr}, {m})"
+        for m in multiprobe_masks(n_planes, radius)
+    ]
+    return "[" + ", ".join(items) + "]"
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -140,10 +165,26 @@ def lsh_ann_topk(
     k: int = 5,
     n_planes: int = 6,
     round_to: int = 4,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine ranking *within* the query's LSH
-    bucket. Recall grows with multiprobe/fewer planes; the join is
-    bucket-local (shuffle key = bucket)."""
+    bucket(s). The join is bucket-local (shuffle key = bucket).
+
+    multiprobe=R (a hamming RADIUS, 0..n_planes) additionally probes
+    every bucket within R plane-bit flips of the query's own — a
+    neighbor lost to the single-probe bucket was separated by a few
+    near-miss hyperplanes, and probing those flips recovers it. Probe
+    count is Σ_{i≤R} C(n_planes, i) (R=1 → 7 of 64 buckets at 6
+    planes; R=2 → 22). Cost is query-side only: the QUERY rows fan out
+    ×probes before the join (the corpus keeps one bucket per vector,
+    so a candidate pair appears at most once and no dedup pass is
+    needed); the corpus side — the 10^10 side — is untouched. Measured
+    on the i.i.d. embeddings table (structure-free worst case; real
+    embedding corpora cluster, which only helps), n_planes=6, k=5:
+    recall@5 ≈ 0.04 single-probe → ≈0.26 at R=1 → ≥0.5 at R=2
+    (pinned by tests/test_similarity_recall.py) — matching the
+    binomial collision model p^6 + 6p^5(1-p) + 15p^4(1-p)^2 with
+    per-plane agreement p ≈ 0.6."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
@@ -154,6 +195,17 @@ def lsh_ann_topk(
         F.col(vec_col).alias("qv"),
         lsh_bucket_col(F.col(vec_col), n_planes).alias("bucket"),
     )
+    if multiprobe:
+        masks = multiprobe_masks(n_planes, multiprobe)
+        probes = F.array(
+            *[
+                F.col("bucket") if m == 0 else F.col("bucket").bitwiseXOR(F.lit(m))
+                for m in masks
+            ]
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
     joined = c.join(F.broadcast(q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -263,7 +315,13 @@ def ivf_ann_topk(
     cluster, which is what IVF exploits; these numbers are the floor.
     """
     if dim is None:
-        dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+        first = corpus.select(F.size(F.col(vec_col))).first()
+        if first is None:
+            raise ValueError(
+                "ivf_ann_topk: empty corpus — cannot infer vector dim; "
+                "pass dim= explicitly"
+            )
+        dim = first[0]
     cents = ivf_centroids(n_centroids, dim, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -99,7 +99,15 @@ class CrawlEngine:
         # driver-serial CPU hog that can exceed the actual work of a
         # wave (observed: two driver threads pegged in string building
         # while all task slots idled). Nothing in the engine consumes
-        # those strings, so cap them for the whole session.
+        # those strings, so cap them while the engine lives; the prior
+        # value is restored by close() so other consumers of the shared
+        # session (interactive explain(), other engines) see full plans
+        # again (ADVICE r2). Session-build sites (tests/conftest.py,
+        # tools/bench_scaling.py, bench.py) also set it up front.
+        try:
+            self._saved_plan_len = spark.conf.get("spark.sql.maxPlanStringLength")
+        except Exception:
+            self._saved_plan_len = None
         spark.conf.set("spark.sql.maxPlanStringLength", "1024")
         self.cfg = cfg
         self.documents = documents
@@ -166,6 +174,10 @@ class CrawlEngine:
         self.profile = _os.environ.get("SPARK_GRAFT_PROFILE") == "1"
         self.prof: list[tuple] = []
         self.bloom: Optional[DataFrame] = None
+        # set when resume() rebuilt the filter under a new routing
+        # version: the next wave's bloom staging writes a FULL compacted
+        # version so later resumes load current-format bitmaps directly
+        self._bloom_force_full = False
         self.catalog = SnapshotCatalog(spark, state_dir)
         self.frontier: Optional[DataFrame] = None
         self.seen: Optional[DataFrame] = None
@@ -258,9 +270,24 @@ class CrawlEngine:
         self._futures = []
         return out
 
+    def close(self):
+        """Release engine resources: writer pool, cached frames, and the
+        session conf the constructor capped (restored to its prior
+        value so other consumers of the shared session are unaffected)."""
+        self._writer.shutdown(wait=False)
+        self._unpersist_all()
+        if getattr(self, "_saved_plan_len", None) is not None:
+            try:
+                self.spark.conf.set(
+                    "spark.sql.maxPlanStringLength", self._saved_plan_len
+                )
+            except Exception:
+                pass
+            self._saved_plan_len = None
+
     def __del__(self):
         try:
-            self._writer.shutdown(wait=False)
+            self.close()
         except Exception:
             pass
 
@@ -469,11 +496,12 @@ class CrawlEngine:
             from ..state.bloom import build_bloom_delta, compact_bloom
 
             delta = build_bloom_delta(new_rows, wave, self.bloom_buckets)
-            if (
+            if self._bloom_force_full or (
                 wave > 0
                 and self.bloom_compact_every
                 and wave % self.bloom_compact_every == 0
             ):
+                self._bloom_force_full = False
                 bloom_all = (
                     delta if self.bloom is None else self.bloom.unionByName(delta)
                 )
@@ -1096,14 +1124,20 @@ class CrawlEngine:
             # staged_rows raises if lineage is missing — a silent 0 here
             # would terminate the crawl early (ADVICE r1).
             n_next = self.catalog.staged_rows("frontier")
+        from ..state.bloom import BLOOM_FORMAT_VERSION
+
+        extra = {
+            "total_fetched": self.total_fetched,
+            "seen_total": self.seen_total,
+            "done": n_next == 0,
+        }
+        if self.use_bloom:
+            # bucket-routing version of the bitmaps this snapshot holds;
+            # resume() refuses to probe bitmaps written under another
+            # routing (false negatives would bypass the exact anti-join)
+            extra["bloom_format"] = BLOOM_FORMAT_VERSION
         self._base_manifest = self.catalog.commit(
-            wave,
-            {
-                "total_fetched": self.total_fetched,
-                "seen_total": self.seen_total,
-                "done": n_next == 0,
-            },
-            base=self._base_manifest,
+            wave, extra, base=self._base_manifest
         )
         self._refresh_state_after_writes(wave)
         # robots/host_counts are delta tables: rebuild the aggregated
@@ -1161,7 +1195,27 @@ class CrawlEngine:
         )
         self.dns_cache = self.catalog.load("dns_cache", m)
         if self.use_bloom:
-            self.bloom = self.catalog.load("bloom", m)
+            from ..state.bloom import BLOOM_FORMAT_VERSION, build_bloom_delta
+
+            fmt = int(m.get("bloom_format", 1))
+            if fmt == BLOOM_FORMAT_VERSION:
+                self.bloom = self.catalog.load("bloom", m)
+            else:
+                # Snapshot bitmaps were built under a different bucket
+                # routing: probing them would yield false negatives, and
+                # bloom negatives skip the exact anti-join — a resumed
+                # crawl would re-admit seen URLs. Rebuild the filter from
+                # the exact seen table (one pass over `seen`, partition-
+                # parallel) and force a full bloom write next wave so
+                # later resumes load current-format bitmaps directly.
+                self.bloom = (
+                    None
+                    if self.seen is None
+                    else build_bloom_delta(
+                        self.seen.select("surt"), int(m["wave"]), self.bloom_buckets
+                    )
+                )
+                self._bloom_force_full = True
         self.total_fetched = int(m.get("total_fetched", 0))
         self.seen_total = int(m.get("seen_total", 0))
         self.frontier_count = self.frontier.count()

@@ -38,6 +38,16 @@ from pyspark.sql.types import BooleanType
 BITS_PER_ITEM = 10  # ~1% false-positive rate
 NUM_HASHES = 7
 
+# Routing/format version of the PERSISTED filter. v1 routed buckets by
+# host hash; v2 routes by surt hash (the Zipf probe-skew fix). Bitmaps
+# probed under a different routing yield FALSE NEGATIVES — and a bloom
+# negative bypasses the exact anti-join entirely, so a resumed crawl
+# would silently re-admit already-seen URLs. plans/crawl.py records
+# this version in every snapshot manifest and, on resume with a
+# mismatched (or missing) version, rebuilds the filter from the exact
+# `seen` table instead of loading the stale bitmaps.
+BLOOM_FORMAT_VERSION = 2
+
 
 def _h2(surt: str) -> tuple[int, int]:
     d = hashlib.sha1(b"bloom\x1f" + surt.encode("utf-8")).digest()

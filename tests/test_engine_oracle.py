@@ -132,6 +132,36 @@ def test_resume_equals_uninterrupted(spark, tiny_web, tmp_path):
     assert_engine_matches_oracle(e2, simulate(tiny_web, CFG))
 
 
+def test_resume_bloom_format_mismatch_rebuilds(spark, tiny_web, tmp_path):
+    """A snapshot whose bloom bitmaps were written under a different
+    bucket routing (manifest bloom_format != current) must NOT be
+    probed on resume — stale-routing probes yield false negatives,
+    which bypass the exact anti-join and re-admit seen URLs. The
+    engine rebuilds the filter from the exact seen table instead;
+    the resumed crawl stays bit-identical to the oracle."""
+    import json
+
+    e1 = build_engine(spark, tiny_web, CFG, tmp_path)
+    e1.seed_frontier()
+    e1.run_wave(1)
+    e1.run_wave(2)
+    # corrupt the manifest's routing version (simulates a snapshot from
+    # an engine build that routed bloom buckets differently)
+    mpath = tmp_path / "state" / "manifests" / "m00002.json"
+    m = json.loads(mpath.read_text())
+    assert m["bloom_format"] >= 2
+    m["bloom_format"] = 1
+    mpath.write_text(json.dumps(m))
+    e2 = build_engine(spark, tiny_web, CFG, tmp_path)
+    e2.resume()
+    assert e2._bloom_force_full is False  # next commit re-published full
+    m_final = e2.catalog.latest_manifest()
+    from cocrawler_spark.state.bloom import BLOOM_FORMAT_VERSION
+
+    assert m_final["bloom_format"] == BLOOM_FORMAT_VERSION
+    assert_engine_matches_oracle(e2, simulate(tiny_web, CFG))
+
+
 def test_tiny_equality_salted_no_bloom(spark, tiny_web, tmp_path):
     """Engine variants (salted politeness rank, bloom off, shuffle
     fetch join) are pure physical-plan choices — oracle equality must

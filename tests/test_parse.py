@@ -104,6 +104,14 @@ def test_extract_outlinks_col_parity(spark):
         ],
         [_span("redirect", "http://t.test/", offset=0)],
         [_span("text", None, offset=0), _span("other", "x", offset=1)],
+        [
+            # Unicode whitespace between href and '=' — \xa0 (NBSP) and
+            # \x85 (NEL) match Python-re \s on str but not Java \s; the
+            # shared explicit ASCII class must reject both identically
+            _span("text", 'href\xa0=\xa0"http://u.test/nbsp"', offset=0),
+            _span("text", 'href\x85="http://u.test/nel"', offset=1),
+            _span("text", 'href \t= "http://u.test/ascii"', offset=2),
+        ],
         [],
     ]
     rows = [(i, d) for i, d in enumerate(docs)] + [(len(docs), None)]

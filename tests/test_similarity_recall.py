@@ -1,0 +1,70 @@
+"""Recall floor for the approximate ANN operators vs the exact
+brute-force baseline, on the driver's sf0.001 embeddings table —
+i.i.d. random vectors, the structure-free WORST case for any space
+partitioner (real embedding corpora cluster, which only helps).
+
+Pins VERDICT r2 task #6: multiprobe LSH must recover recall ≥ 0.5
+at n_planes=6 where single-probe measures ~0.12.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocrawler_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_ann_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF, "embeddings.parquet")),
+    reason="driver testdata not present",
+)
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _recall(approx, exact):
+    hits = total = 0
+    for qid, truth in exact.items():
+        got = approx.get(qid, set())
+        hits += len(got & truth)
+        total += len(truth)
+    return hits / total if total else 0.0
+
+
+def test_multiprobe_lsh_recall_floor(spark):
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = _topk_sets(cosine_topk_bruteforce(emb, queries, k=5))
+    single = _topk_sets(lsh_ann_topk(emb, queries, k=5, n_planes=6))
+    multi = _topk_sets(
+        lsh_ann_topk(emb, queries, k=5, n_planes=6, multiprobe=2)
+    )
+    r_single = _recall(single, exact)
+    r_multi = _recall(multi, exact)
+    # multiprobe strictly widens the candidate set → recall can only rise
+    assert r_multi >= r_single
+    assert r_multi >= 0.5, f"multiprobe recall@5 = {r_multi:.3f} (single {r_single:.3f})"
+
+
+def test_multiprobe_superset_of_single_probe(spark):
+    """Every single-probe candidate pair survives multiprobe (the extra
+    probes only ADD buckets), so top-k can only improve."""
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).filter(
+        F.col("vec_id") < 120
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    single = lsh_ann_topk(emb, queries, k=1000, n_planes=6)
+    multi = lsh_ann_topk(emb, queries, k=1000, n_planes=6, multiprobe=2)
+    s_pairs = {(r["query_id"], r["neighbor_id"]) for r in single.collect()}
+    m_pairs = {(r["query_id"], r["neighbor_id"]) for r in multi.collect()}
+    assert s_pairs <= m_pairs

@@ -60,6 +60,25 @@ def run(sf_dir: str, only: list[str]):
     for name in names:
         try:
             sdf = qs[name](spark, sf_dir)
+            if name in oracles:
+                # Driver-harness invariant (COVERAGE.md §grading): graded
+                # outputs must be scalar columns only — the driver
+                # canonicalizes rows via a pandas sort over all columns,
+                # which throws `unhashable type` on array/map/struct cells.
+                from pyspark.sql.types import ArrayType, MapType, StructType
+
+                bad = [
+                    f.name
+                    for f in sdf.schema.fields
+                    if isinstance(f.dataType, (ArrayType, MapType, StructType))
+                ]
+                if bad:
+                    failures.append(name)
+                    print(
+                        f"  {name}: NONSCALAR graded output columns {bad} — "
+                        "scalar-encode (concat_ws / posexplode) before grading"
+                    )
+                    continue
             srows = sdf.collect()
             scols = sorted(sdf.columns)
             sset = sorted(
