@@ -65,6 +65,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Spread read for compute-heavy pre-shuffle chains (tokenize /
+    shingle / hash / vector math): the driver tables are single-row-
+    group parquet files, so Spark plans ONE input split and the whole
+    per-row expression chain runs on one core (measured: minhash
+    signatures 11.8s single-split vs 3.0s spread at sf0.1). The
+    round-robin exchange of the raw rows is trivially cheap at these
+    sizes; at production scale the input arrives in thousands of
+    splits and callers use the plain reader — this is small-file
+    policy, not operator logic."""
+    return _t(spark, sf_dir, name).repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship: frontier scheduling over the documents table — the crawl
 # engine's politeness + priority-order pipeline expressed on driver data
@@ -404,12 +419,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data ops: dedup family --------------------------------------
     def dup_exact_groups(spark, sf):
-        return exact_dup_groups(_t(spark, sf, "documents"), "text", "doc_id")
+        return exact_dup_groups(_ts(spark, sf, "documents"), "text", "doc_id")
 
     q["dedup_exact_groups"] = dup_exact_groups
 
     def dedup_minhash_signatures(spark, sf):
-        return minhash_signatures(_t(spark, sf, "documents"), "text", "doc_id", k=8)
+        return minhash_signatures(_ts(spark, sf, "documents"), "text", "doc_id", k=8)
 
     q["dedup_minhash_signatures"] = dedup_minhash_signatures
 
@@ -417,7 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # defaults = the hardened scale path: exact-dup pre-collapse +
         # bucket-size cap (both mirrored in the oracle SQL)
         return minhash_lsh_pairs(
-            _t(spark, sf, "documents"), "text", "doc_id", k=8, bands=4,
+            _ts(spark, sf, "documents"), "text", "doc_id", k=8, bands=4,
             precollapse=True, max_bucket=1024,
         )
 
@@ -426,25 +441,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_ngram_jaccard(spark, sf):
         # max_df: hot-shingle document-frequency cap (mirrored in oracle)
         return ngram_jaccard_pairs(
-            _t(spark, sf, "documents"), "text", "doc_id", shingle_n=3,
+            _ts(spark, sf, "documents"), "text", "doc_id", shingle_n=3,
             threshold=0.2, max_df=256,
         )
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
     def dedup_simhash(spark, sf):
-        return simhash_fingerprints(_t(spark, sf, "documents"), "text", "doc_id", bits=16)
+        return simhash_fingerprints(_ts(spark, sf, "documents"), "text", "doc_id", bits=16)
 
     q["dedup_simhash"] = dedup_simhash
 
     def dedup_simhash64(spark, sf):
-        return simhash_fingerprints(_t(spark, sf, "documents"), "text", "doc_id", bits=64)
+        return simhash_fingerprints(_ts(spark, sf, "documents"), "text", "doc_id", bits=64)
 
     q["dedup_simhash64"] = dedup_simhash64
 
     def dedup_simhash_candidates(spark, sf):
         return simhash_candidates(
-            _t(spark, sf, "documents"), "text", "doc_id",
+            _ts(spark, sf, "documents"), "text", "doc_id",
             bits=64, band_bits=16, precollapse=True, max_bucket=1024,
         )
 
@@ -452,13 +467,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data ops: text analysis --------------------------------------
     def text_token_count(spark, sf):
-        d = _t(spark, sf, "documents")
+        d = _ts(spark, sf, "documents")
         return d.select("doc_id", token_count_col(F.col("text")).alias("n_tokens"))
 
     q["text_token_count"] = text_token_count
 
     def text_quality(spark, sf):
-        d = _t(spark, sf, "documents")
+        d = _ts(spark, sf, "documents")
         cols = quality_cols(F.col("text"))
         return d.select(
             "doc_id",
@@ -471,7 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_quality"] = text_quality
 
     def text_langid(spark, sf):
-        d = _t(spark, sf, "documents")
+        d = _ts(spark, sf, "documents")
         return d.select("doc_id", langid_col(F.col("text")).alias("lang_pred"))
 
     q["text_langid"] = text_langid
@@ -479,14 +494,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def text_fingerprint(spark, sf):
         from cocrawler_spark.functions.text import fingerprint_col
 
-        d = _t(spark, sf, "documents")
+        d = _ts(spark, sf, "documents")
         return d.select("doc_id", fingerprint_col(F.col("text")).alias("fp"))
 
     q["text_fingerprint"] = text_fingerprint
 
     # --- training-data ops: similarity search ----------------------------------
     def ann_topk(spark, sf):
-        emb = _t(spark, sf, "embeddings")
+        emb = _ts(spark, sf, "embeddings")
         return cosine_topk_bruteforce(
             emb, emb.filter(F.col("vec_id") < 8), k=5, round_to=4
         )
@@ -494,7 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_bruteforce"] = ann_topk
 
     def ann_lsh(spark, sf):
-        emb = _t(spark, sf, "embeddings")
+        emb = _ts(spark, sf, "embeddings")
         return lsh_ann_topk(
             emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=4, round_to=4
         )
@@ -504,7 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ann_lsh_multiprobe(spark, sf):
         # hamming-radius-2 multiprobe: recall ~0.04 → ≥0.5 on the
         # i.i.d. worst case, query-side-only fan-out (corpus untouched)
-        emb = _t(spark, sf, "embeddings")
+        emb = _ts(spark, sf, "embeddings")
         return lsh_ann_topk(
             emb, emb.filter(F.col("vec_id") < 8),
             k=5, n_planes=6, round_to=4, multiprobe=2,
@@ -513,7 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_lsh_multiprobe"] = ann_lsh_multiprobe
 
     def ann_ivf(spark, sf):
-        emb = _t(spark, sf, "embeddings")
+        emb = _ts(spark, sf, "embeddings")
         return ivf_ann_topk(
             emb, emb.filter(F.col("vec_id") < 8),
             k=5, n_centroids=8, nprobe=2, round_to=4,
@@ -523,7 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def dedup_embedding_neardup(spark, sf):
         # default = scale path: LSH bucket equi-join, no cross product
-        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+        emb = _ts(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
         return embedding_neardup_pairs(emb, threshold=0.3, round_to=4, n_planes=6)
 
     q["dedup_embedding_neardup"] = dedup_embedding_neardup
@@ -536,7 +551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding_neardup_exact"] = dedup_embedding_neardup_exact
 
     def text_token_bpeish(spark, sf):
-        d = _t(spark, sf, "documents")
+        d = _ts(spark, sf, "documents")
         pat = "[A-Za-z]{1,4}|[0-9]{1,4}|[^A-Za-z0-9\\s]"
         return d.select(
             "doc_id",
@@ -576,7 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         two media refs per doc (one shared-pool asset, one video) — the
         multimodal operators then run their real plumbing (span filter →
         explode → distinct → Arrow mapInPandas) over it."""
-        d = _t(spark, sf, "documents")
+        d = _ts(spark, sf, "documents")
         exts = F.array(*[F.lit(e) for e in ("png", "jpg", "css", "js", "wav", "mp4")])
         ref1 = F.concat(
             F.lit("m/"), (F.col("doc_id") % 500).cast("string"), F.lit("."),

@@ -70,6 +70,17 @@ def build_session(cpus: int, app: str) -> SparkSession:
 
 def run_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
+    from pyspark.sql import functions as F
+
+    # absorb one-time session costs (JIT/codegen warmup, shuffle service
+    # init, Python worker pool fork) into a trivial job so per-query
+    # timings measure the queries; the warmup stays inside the reported
+    # total (main() starts the clock before this runs)
+    spark.range(10000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("h")
+    ).groupBy((F.col("id") % 8).alias("g")).count().write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     qs = entry_mod.queries()
     times: dict[str, float] = {}
@@ -103,9 +114,17 @@ def run_crawl_bench(spark: SparkSession, size: str, waves: int = 3) -> dict:
         max_waves=waves,
         flaky_mod=10,
     )
-    state = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".data", f"benchstate_{size}"
+    # state tables on tmpfs: the sandbox block device writes at ~20 MB/s
+    # with slow commit syscalls — two orders of magnitude below any real
+    # executor-local disk — and the ~10 staged writes per wave are pure
+    # fixed overhead on it (same policy as tools/bench_scaling.py)
+    state_root = (
+        "/dev/shm/spark_graft_bench"
+        if os.path.isdir("/dev/shm")
+        else os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data")
     )
+    os.makedirs(state_root, exist_ok=True)
+    state = os.path.join(state_root, f"benchstate_{size}")
     shutil.rmtree(state, ignore_errors=True)
     eng = CrawlEngine(
         spark,

@@ -82,6 +82,7 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_buckets: int = 64,
         bloom_compact_every: int = 4,
+        bloom_min_seen: int = 100_000,
         politeness_salt: int = 0,
         lean: bool = False,
         broadcast_fetch: bool = True,
@@ -151,6 +152,15 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.bloom_buckets = bloom_buckets
         self.bloom_compact_every = bloom_compact_every
+        # Probe engagement threshold. The bloom probe's job is to spare
+        # the exact anti-join's shuffle when `seen` is huge; while seen
+        # is small the plain anti-join is a broadcast (AQE) and the
+        # probe's cogroup (Python workers + one shuffle) costs MORE
+        # than it saves. Deltas are still BUILT and staged every wave
+        # regardless — the filter must cover all history the moment it
+        # engages, and resume/versioning state stays complete. Probe
+        # on/off is a pure physical-plan choice (equality-tested).
+        self.bloom_min_seen = bloom_min_seen
         self.politeness_salt = politeness_salt
         self.broadcast_fetch = broadcast_fetch
         # guard (ADVICE r1): beyond this many fetchable URLs the slim
@@ -443,7 +453,11 @@ class CrawlEngine:
         import time as _time
 
         _t0 = _time.time()
-        if self.use_bloom and self.bloom is not None:
+        if (
+            self.use_bloom
+            and self.bloom is not None
+            and self.seen_total >= self.bloom_min_seen
+        ):
             from ..state.bloom import probe_bloom
 
             # Materialize the candidate chain ONCE before the probe: the

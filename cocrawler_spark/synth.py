@@ -249,8 +249,25 @@ def write_parquet(web: SynthWeb, out_dir: str) -> dict[str, str]:
             "spans": pa.array(spans_py, pa.list_(SPAN_PA)),
         }
     )
+    # Shard the corpus into multiple part files: Spark plans input
+    # splits per FILE for small files (an 11 MB single file is one
+    # split at the default 128 MB maxPartitionBytes), and a single
+    # split serializes every whole-corpus scan — the distillate parse
+    # ran on one core of 32 before this. A real web corpus is never
+    # one file; one shard per ~500 docs keeps tiny test webs at a
+    # single file while bench-size corpora scan in parallel.
+    n_shards = max(1, min(32, len(doc_ids) // 500))
     paths["documents"] = os.path.join(out_dir, "documents_spans.parquet")
-    pq.write_table(docs_tbl, paths["documents"])
+    if n_shards == 1:
+        pq.write_table(docs_tbl, paths["documents"])
+    else:
+        os.makedirs(paths["documents"], exist_ok=True)
+        per = (len(doc_ids) + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            pq.write_table(
+                docs_tbl.slice(s * per, per),
+                os.path.join(paths["documents"], f"part-{s:05d}.parquet"),
+            )
 
     hosts = sorted(web.robots.keys())
     robots_tbl = pa.table(

@@ -20,8 +20,12 @@ from cocrawler_spark.sources.corpus import (
 from cocrawler_spark.synth import generate, write_parquet
 
 
-def build_engine(spark, web, cfg, tmpdir):
+def build_engine(spark, web, cfg, tmpdir, **kw):
     paths = write_parquet(web, str(tmpdir / "web"))
+    # bloom_min_seen=0: tiny webs never reach the production probe
+    # threshold, and these suites must keep exercising the probe path
+    # (bit-equality of probe on/off is itself covered below)
+    kw.setdefault("bloom_min_seen", 0)
     return CrawlEngine(
         spark,
         cfg,
@@ -29,6 +33,7 @@ def build_engine(spark, web, cfg, tmpdir):
         robots_src=read_robots_src(spark, paths["robots_src"]),
         seeds=read_seed_parquet(spark, paths["seeds"]),
         state_dir=str(tmpdir / "state"),
+        **kw,
     )
 
 
@@ -130,6 +135,15 @@ def test_resume_equals_uninterrupted(spark, tiny_web, tmp_path):
     e2 = build_engine(spark, tiny_web, CFG, tmp_path)  # same state dir
     e2.resume()
     assert_engine_matches_oracle(e2, simulate(tiny_web, CFG))
+
+
+def test_tiny_equality_bloom_threshold_default(spark, tiny_web, tmp_path):
+    """Production default bloom_min_seen: the probe stays disengaged
+    below the threshold (deltas still built and staged every wave) —
+    a pure physical-plan choice, bit-identical to the oracle."""
+    e = build_engine(spark, tiny_web, CFG, tmp_path, bloom_min_seen=100_000)
+    e.run()
+    assert_engine_matches_oracle(e, simulate(tiny_web, CFG))
 
 
 def test_resume_bloom_format_mismatch_rebuilds(spark, tiny_web, tmp_path):

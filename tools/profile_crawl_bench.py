@@ -45,7 +45,12 @@ def main():
     cfg = CrawlConfig(
         max_depth=4, wave_budget_seconds=1e9, max_waves=waves, flaky_mod=10
     )
-    state = os.path.join(REPO, ".data", f"profstate_{size}")
+    state_root = (
+        "/dev/shm/spark_graft_bench" if os.path.isdir("/dev/shm") else
+        os.path.join(REPO, ".data")
+    )
+    os.makedirs(state_root, exist_ok=True)
+    state = os.path.join(state_root, f"profstate_{size}")
     shutil.rmtree(state, ignore_errors=True)
     eng = CrawlEngine(
         spark,
