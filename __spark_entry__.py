@@ -560,6 +560,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_token_bpeish"] = text_token_bpeish
 
+    # --- end-to-end training-data pipeline (crawl → train-ready docs) -------
+    def train_pipeline(spark, sf):
+        """The full chain as ONE plan: exact dedup collapse → MinHash
+        LSH near-dup drop (min-id survivor) → quality gate → langid
+        gate. Engine-side twin runs over real crawl output
+        (plans/pipeline.run_training_pipeline, oracle-simulator
+        scenario in tests/test_engine_oracle.py)."""
+        from cocrawler_spark.plans.pipeline import train_data_pipeline
+
+        d = _ts(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        return train_data_pipeline(
+            d, text_col="text", id_col="id",
+            minhash_k=8, bands=4, shingle_n=3, max_bucket=1024,
+            min_tokens=5, min_alpha_ratio=0.5, min_stopword_ratio=0.0,
+            langs=("en",),
+        )
+
+    q["train_pipeline"] = train_pipeline
+
     # --- registered-domain (eTLD+1) longest-suffix match (SURVEY §2c/§2e) ----
     def per_domain_topk(spark, sf):
         """Hosts spanning 1-label and 2-label public suffixes plus a deep
@@ -1007,6 +1028,41 @@ FROM t"""
 WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
 m AS (SELECT doc_id, list_max([{_langid_structs()}]) AS mx FROM t)
 SELECT doc_id, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang_pred FROM m"""
+
+    # end-to-end training pipeline: exact collapse → LSH losers →
+    # survivors → quality/langid gates, composed from the same CTE
+    # pieces the individual dedup/text oracles use
+    s["train_pipeline"] = f"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents GROUP BY md5(text)
+),
+{_SHINGLES_CTE.replace("FROM documents", "FROM reps")},
+sigs AS (SELECT doc_id AS id, {sig_exprs} FROM sh GROUP BY doc_id),
+banded AS ({band_selects}),
+bsz AS (SELECT band, bkey, COUNT(*) AS n FROM banded GROUP BY band, bkey),
+ok AS (SELECT band, bkey FROM bsz WHERE n > 1 AND n <= 1024),
+kept AS (SELECT banded.* FROM banded JOIN ok USING (band, bkey)),
+losers AS (
+  SELECT DISTINCT b.id AS id FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+surv AS (
+  SELECT doc_id AS id, text FROM reps
+  WHERE doc_id NOT IN (SELECT id FROM losers)),
+t AS (SELECT id, text, {tokens_sql('text')} AS toks FROM surv),
+g AS (
+  SELECT id, text,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+          / greatest(length(text), 1), 6) AS alpha_ratio,
+    ROUND(len(list_filter(toks, x -> list_contains([{en_list}], x)))
+          / greatest(len(toks), 1), 6) AS stopword_ratio,
+    list_max([{_langid_structs()}]) AS mx
+  FROM t)
+SELECT id, text, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang,
+       n_tokens, alpha_ratio, stopword_ratio
+FROM g
+WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
+  AND (CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END) IN ('en')"""
 
     fp_inner = md5_hash64_sql("array_to_string(t[i:i+2], ' ')")
     s["text_fingerprint"] = f"""

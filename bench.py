@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_neardup",
+    "train_pipeline",
     "text_quality",
     "text_langid",
     "text_fingerprint",

@@ -251,3 +251,17 @@ def has_text_span_col(spans: Column) -> Column:
     """Content-type gate analog: parse only docs with ≥1 text span
     (cocrawler/post_fetch.py† only parses text/html)."""
     return F.exists(spans, lambda s: s["kind"] == F.lit("text"))
+
+
+def text_of_col(spans: Column) -> Column:
+    """JVM twin of text_of: ' '-joined text of text-kind spans in
+    ascending-offset order (the training-pipeline page-text source)."""
+    return F.array_join(
+        F.transform(
+            F.filter(
+                spans_sorted_col(spans), lambda s: s["kind"] == F.lit("text")
+            ),
+            lambda s: F.coalesce(s["text"], F.lit("")),
+        ),
+        " ",
+    )

@@ -1,0 +1,122 @@
+"""Crawl → train-ready documents: the end-to-end training-data plan.
+
+A crawl is not the product — the product is a deduplicated, filtered
+document set ready for tokenizer/training jobs. This module chains the
+engine's committed crawl outputs through the repo's dedup/text-quality
+operators as ONE declarative plan:
+
+    fetched pages (status 200, parseable)        [crawl output join]
+      → page text                                 [corpus text join]
+      → exact dedup collapse (min-id survivor per byte-identical text)
+      → MinHash+LSH near-dup drop (min-id survivor per candidate pair)
+      → quality gate (token count / alpha ratio / stopword ratio)
+      → language gate (stopword-overlap langid)
+      → train_docs table, committed through the snapshot catalog
+
+Scale shape: every stage is a hash-shuffle groupBy / equi-join from
+the hardened operators in operators/dedup.py (pre-collapse + capped
+buckets — no cross products, no driver collects); the quality/langid
+stages are pure JVM column expressions. At 10^10 pages the plan's
+only wide ops are the dedup shuffles, all keyed by content hashes
+(uniform by construction).
+
+Near-dup survivor rule (deterministic, SQL-twinnable): for every LSH
+candidate pair (id_a < id_b) the LARGER id is dropped — i.e. a doc
+survives iff no candidate pairs it with a smaller id. Single-linkage
+transitive clustering would need an iterative connected-components
+pass; the pairwise min-id rule is the standard one-pass variant and
+is what the DuckDB oracle mirrors exactly.
+
+Correctness: tests/test_engine_oracle.py::test_training_pipeline_*
+asserts the surviving doc set against a pure-Python mirror on the
+oracle simulator's fetched set; the driver grades the same chain on
+its documents table via queries()['train_pipeline'] with a full SQL
+twin.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import langid_col, quality_cols
+from ..operators.dedup import _exact_representatives, minhash_lsh_pairs
+
+
+def train_data_pipeline(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    minhash_k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: Optional[int] = 1024,
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.0,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """(id, text) → surviving train-ready docs with their gate columns.
+
+    Returns (id, text, lang, n_tokens, alpha_ratio, stopword_ratio) for
+    every doc that survives exact dedup, near-dup dropping, and the
+    quality/language gates. `id` must be orderable (min-id survivor
+    rules on both dedup stages)."""
+    # 1. exact collapse: one hash groupBy, min-id representative
+    reps = _exact_representatives(docs, text_col, id_col)
+
+    # 2. near-dup candidates on the collapsed set (precollapse=False —
+    # stage 1 already did it); drop the larger id of every pair
+    pairs = minhash_lsh_pairs(
+        reps, text_col, "id", k=minhash_k, bands=bands, shingle_n=shingle_n,
+        precollapse=False, max_bucket=max_bucket,
+    )
+    losers = pairs.select(F.col("id_b").alias("id")).distinct()
+    survivors = reps.join(losers, "id", "left_anti")
+
+    # 3+4. quality + language gates: pure JVM expressions, one pass
+    qc = quality_cols(F.col(text_col))
+    gated = survivors.select(
+        "id",
+        F.col(text_col).alias("text"),
+        langid_col(F.col(text_col)).alias("lang"),
+        qc["n_tokens"].alias("n_tokens"),
+        qc["alpha_ratio"].alias("alpha_ratio"),
+        qc["stopword_ratio"].alias("stopword_ratio"),
+    ).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("lang").isin(*langs))
+    )
+    return gated
+
+
+def run_training_pipeline(engine, wave: Optional[int] = None, **knobs) -> DataFrame:
+    """Run the pipeline over a finished crawl's committed outputs and
+    commit the result as the `train_docs` table.
+
+    Sources: the engine's `fetched_content` output (status-200 pages
+    that produced a parse) joined back to the corpus for page text —
+    the same one-more-pass-over-fetched-pages a WARC-reading pipeline
+    does. The output commits through the snapshot catalog, so
+    `train_docs` is versioned/resumable like every other state table."""
+    from ..functions.parse import text_of_col
+
+    fetched = engine.output("fetched_content")
+    if fetched is None:
+        raise ValueError("no fetched_content output — run the crawl first")
+    ok = fetched.filter(F.col("status") == 200).select(F.col("url"))
+    docs = engine.documents.join(
+        ok, engine.documents["doc_id"] == ok["url"], "left_semi"
+    ).select(
+        F.col("doc_id").alias("id"),
+        text_of_col(F.col("spans")).alias("text"),
+    )
+    out = train_data_pipeline(docs, text_col="text", id_col="id", **knobs)
+    w = wave if wave is not None else int(engine.catalog.latest_manifest()["wave"])
+    engine.catalog.stage("train_docs", out, w, mode="full")
+    engine.catalog.commit(w, base=engine.catalog.latest_manifest())
+    return engine.output("train_docs")

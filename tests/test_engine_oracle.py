@@ -137,6 +137,34 @@ def test_resume_equals_uninterrupted(spark, tiny_web, tmp_path):
     assert_engine_matches_oracle(e2, simulate(tiny_web, CFG))
 
 
+def test_training_pipeline_matches_mirror(spark, tiny_web, tmp_path):
+    """End-to-end: crawl → exact dedup → minhash near-dup drop →
+    quality/langid gates → committed train_docs table. The surviving
+    doc set must equal the pure-Python mirror run on the oracle
+    simulator's fetched pages (VERDICT r2 task #5)."""
+    from cocrawler_spark.functions.parse import text_of
+    from cocrawler_spark.oracle.pipeline import train_pipeline_mirror
+    from cocrawler_spark.plans.pipeline import run_training_pipeline
+
+    knobs = dict(
+        min_tokens=1, min_alpha_ratio=0.0, min_stopword_ratio=0.0,
+        langs=("en", "und"),
+    )
+    e = build_engine(spark, tiny_web, CFG, tmp_path)
+    e.run()
+    out = run_training_pipeline(e, **knobs)
+    got = {r["id"] for r in out.collect()}
+
+    res = simulate(tiny_web, CFG)
+    fetched_ok = {u for (w, u, s, st, sha, ns) in res.fetched if st == 200}
+    docs = {u: text_of(tiny_web.docs[u]) for u in fetched_ok}
+    exp = train_pipeline_mirror(docs, **knobs)
+    assert got == exp and len(got) > 0
+    # versioned like every other state table: reload via the catalog
+    reloaded = {r["id"] for r in e.output("train_docs").collect()}
+    assert reloaded == exp
+
+
 def test_tiny_equality_bloom_threshold_default(spark, tiny_web, tmp_path):
     """Production default bloom_min_seen: the probe stays disengaged
     below the threshold (deltas still built and staged every wave) —

@@ -80,6 +80,11 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         # two driver threads pegged in TreeNode.generateTreeString while
         # all task slots idled). Cap the string; nothing consumes it.
         .config("spark.sql.maxPlanStringLength", "1024")
+        # zstd for shuffle blocks: with shuffle dirs on tmpfs every
+        # shuffle byte is a memory-bus byte, and the surviving hot loops
+        # are bandwidth-bound (BENCH/ANALYSIS entry 14) — zstd's better
+        # ratio trades spare compute for scarce bandwidth
+        .config("spark.io.compression.codec", "zstd")
         # shuffle files + spills on tmpfs (see BENCH_ROOT note)
         .config("spark.local.dir", os.path.join(BENCH_ROOT, f"local_{cpus}"))
         .config("spark.ui.enabled", "false")
