@@ -64,6 +64,18 @@ FRONTIER_COLS = [
     "domain",
 ]
 
+# Per-wave metrics whose collect jobs lean=True skips (each is a
+# metrics-only Spark action off the control path). summary() reports
+# this list verbatim so a lean run's metrics table is explicitly
+# partial rather than silently thinner (VERDICT r2).
+LEAN_SKIPPED_METRICS = (
+    "bad_url", "scheme_dropped", "private_dropped", "dns_private_dropped",
+    "depth_dropped", "wave_dup_dropped", "seen_dup_dropped",
+    "robots_fetched", "dns_resolved", "robots_denied",
+    "host_budget_dropped", "links_found", "embeds_found", "deferred",
+    "frontier_size_next", "seen_size", "domains_fetched",
+)
+
 def _empty_arr():
     return F.array().cast("array<string>")
 
@@ -196,6 +208,7 @@ class CrawlEngine:
         self.total_fetched = 0
         self.seen_total = 0
         self.frontier_count = 0
+        self.last_wave = 0
         self._persisted: list[DataFrame] = []
         self._metrics_buf: list[tuple] = []
         self._base_manifest: Optional[dict] = None
@@ -1167,6 +1180,7 @@ class CrawlEngine:
         self._unpersist_all()
         self.frontier = results["frontier"]
         self.frontier_count = n_next
+        self.last_wave = wave
         self._ckpt(wave, "commit+refresh", t)
 
     # ---------------------------------------------------------------- full run
@@ -1184,6 +1198,22 @@ class CrawlEngine:
             self.run_wave(wave)
             wave += 1
         return wave - 1
+
+    def summary(self) -> dict:
+        """Run summary for callers/benches: totals plus an explicit
+        record of what lean mode did NOT collect. In lean runs the
+        committed metrics table is intentionally partial (control-flow
+        counts only); `skipped_metrics` names exactly the per-wave
+        metrics whose collect jobs were skipped so downstream readers
+        never mistake a lean metrics table for a full one."""
+        return {
+            "waves": self.last_wave,
+            "total_fetched": self.total_fetched,
+            "seen_total": self.seen_total,
+            "frontier_remaining": self.frontier_count,
+            "lean": self.lean,
+            "skipped_metrics": list(LEAN_SKIPPED_METRICS) if self.lean else [],
+        }
 
     def resume(
         self, max_waves: Optional[int] = None, at_wave: Optional[int] = None

@@ -316,6 +316,19 @@ def test_tiny_equality_lean_mode(spark, tiny_web, tmp_path):
         for r in engine.output("redirects").collect()
     )
     assert got_rd == sorted(res.redirects)
+    # lean's partial metrics table is EXPLICIT, not silent: summary()
+    # names exactly the skipped per-wave metrics, and none of those
+    # names appear in the committed metrics table (VERDICT r2 task #7)
+    from cocrawler_spark.plans.crawl import LEAN_SKIPPED_METRICS
+
+    s = engine.summary()
+    assert s["lean"] is True
+    assert s["skipped_metrics"] == list(LEAN_SKIPPED_METRICS)
+    assert s["total_fetched"] == engine.total_fetched > 0
+    assert s["waves"] > 0
+    present = {r["name"] for r in engine.output("metrics").collect()}
+    assert present.isdisjoint(LEAN_SKIPPED_METRICS)
+    assert "pages_fetched" in present  # control metrics still recorded
 
 
 def test_rollback_resume(spark, tiny_web, tmp_path):

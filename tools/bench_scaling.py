@@ -148,6 +148,9 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         w += 1
     total_sec = time.time() - t0
     total_fetched = eng.total_fetched
+    # explicit record of what lean=True skipped (metrics table is
+    # intentionally partial in bench runs — see CrawlEngine.summary)
+    run_summary = eng.summary()
     spark.stop()
     # free tmpfs before the next leg: state tables and shuffle dirs are
     # per-leg scratch; only the generated corpus is shared
@@ -158,6 +161,7 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
     sec = sum(p["sec"] for p in tail)
     return {
         "cpus": cpus,
+        "run_summary": run_summary,
         "prof": eng.prof if eng.profile else None,
         "per_wave": per_wave,
         "total_urls": total_fetched,
