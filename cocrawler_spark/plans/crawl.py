@@ -269,6 +269,21 @@ class CrawlEngine:
             self.prof.append((wave, label, round(t - t0, 3)))
         return t
 
+    @staticmethod
+    def _sized(df: DataFrame, est_rows: Optional[int], per_part: int = 200_000):
+        """Right-size a staged write from a row-count estimate the wave
+        already knows (pages fetched, new_count, …): tiny deltas write
+        as ONE task/file instead of one per cached partition — at bench
+        scale that is most of the async writers' job overhead — while
+        large deltas keep ceil(est/per_part) tasks, so the same call is
+        a near-no-op at 10^6-row waves. coalesce() is narrow: no
+        shuffle, and upstream cached reads just fan in."""
+        if est_rows is None:
+            return df
+        # coalesce(n) with n >= current partition count is a no-op, so
+        # a large estimate leaves real parallelism untouched
+        return df.coalesce(max(1, 1 + est_rows // per_part))
+
     def _stage_async(self, name, df, wave, mode="delta", lineage=False):
         self._futures.append(
             (name, self._writer.submit(self.catalog.stage, name, df, wave, mode, lineage))
@@ -319,7 +334,7 @@ class CrawlEngine:
             (int(w), n, k, float(v)) for (w, n, k, v) in self._metrics_buf
         ]
         df = self.spark.createDataFrame(rows, "wave int, name string, kind string, value double")
-        self._stage_async("metrics", df, wave, mode="delta")
+        self._stage_async("metrics", self._sized(df, len(rows)), wave, mode="delta")
         self._metrics_buf = []
 
     # --------------------------------------------------------- add_url pipeline
@@ -502,10 +517,18 @@ class CrawlEngine:
             maybe_seen = probed.filter(F.col("_maybe")).drop("_maybe")
             checked = self._anti_seen(maybe_seen)
             new_rows = sure_new.select(*out_cols).unionByName(checked.select(*out_cols))
-        else:
+        elif not self.lean:
             deduped = self._persist(deduped)
             dd = deduped.count()
             _t0 = self._ckpt(wave, "cand:chain", _t0)
+            new_rows = self._anti_seen(deduped)
+        else:
+            # lean + probe disengaged: `deduped` has exactly one
+            # consumer (the anti-join) and dd feeds only skipped
+            # metrics, so the persist+count barrier here is a pure
+            # extra action — new_rows' own persist+count below is the
+            # single materialization of the whole chain.
+            dd = None
             new_rows = self._anti_seen(deduped)
         new_rows = self._persist(new_rows.select(*out_cols))
         # cheap now (filters + broadcast anti-join over the cached barrier)
@@ -517,7 +540,11 @@ class CrawlEngine:
         self.seen_total += new_count
 
         self._stage_async(
-            "seen", new_rows.select("surt"), wave, mode="delta", lineage=True
+            "seen",
+            self._sized(new_rows.select("surt"), new_count),
+            wave,
+            mode="delta",
+            lineage=True,
         )
         if self.use_bloom:
             from ..state.bloom import build_bloom_delta, compact_bloom
@@ -645,7 +672,9 @@ class CrawlEngine:
         )
         new_rows, n_new = self._add_candidates(0, cands)
         self._flush_metrics(0)
-        self._stage_async("frontier", new_rows, 0, mode="full", lineage=True)
+        self._stage_async(
+            "frontier", self._sized(new_rows, n_new), 0, mode="full", lineage=True
+        )
         self.host_counts = self.spark.createDataFrame([], "host string, pages long")
         self.robots = self.spark.createDataFrame(
             [], "host string, fetched_wave int, crawl_delay double, ttl_waves int, "
@@ -702,7 +731,9 @@ class CrawlEngine:
         if self._compact_wave(wave):
             self._stage_async("robots", robots_now, wave, mode="full")
         else:
-            self._stage_async("robots", newly, wave, mode="delta")
+            self._stage_async(
+                "robots", self._sized(newly, self.frontier_count), wave, mode="delta"
+            )
         self.robots = robots_now
         if not self.lean:
             self._metric(wave, "robots_fetched", newly.count())
@@ -724,7 +755,10 @@ class CrawlEngine:
         if self._compact_wave(wave):
             self._stage_async("dns_cache", dns_now, wave, mode="full")
         else:
-            self._stage_async("dns_cache", dns_new, wave, mode="delta")
+            self._stage_async(
+                "dns_cache", self._sized(dns_new, self.frontier_count), wave,
+                mode="delta",
+            )
         self.dns_cache = dns_now
         if not self.lean:
             self._metric(wave, "dns_resolved", dns_new.count())
@@ -802,14 +836,17 @@ class CrawlEngine:
             n_overflow = 0
             deferred = deferred_pol
 
-            def _order_df(fetchable=fetchable, wave=wave):
+            def _order_df(fetchable=fetchable, wave=wave, n=n_fetch0):
                 fs = with_global_seq(
                     fetchable, ["priority", "rand", "surt"],
                     persisted=self._persisted,
                 )
-                return fs.select(
-                    F.lit(wave).alias("wave"), F.col("seq"),
-                    F.col("surt"), F.col("url"),
+                return self._sized(
+                    fs.select(
+                        F.lit(wave).alias("wave"), F.col("seq"),
+                        F.col("surt"), F.col("url"),
+                    ),
+                    n,
                 )
 
             self._stage_async_fn("crawl_order", _order_df, wave, mode="delta")
@@ -840,7 +877,10 @@ class CrawlEngine:
             crawl_order_df = fetchable.select(
                 F.lit(wave).alias("wave"), F.col("seq"), F.col("surt"), F.col("url")
             )
-            self._stage_async("crawl_order", crawl_order_df, wave, mode="delta")
+            self._stage_async(
+                "crawl_order", self._sized(crawl_order_df, n_fetch0), wave,
+                mode="delta",
+            )
         t = self._ckpt(wave, "politeness+seq", t)
         n_deferred = None if self.lean else (n_defer_pol + n_overflow)
 
@@ -974,12 +1014,15 @@ class CrawlEngine:
             int(r["unparsed"] or 0) for r in srows if r["status"] == 200
         )
         t = self._ckpt(wave, "fetch+distill", t)
+        status_counts = {r["status"]: r["cnt"] for r in srows}
+        pages = sum(status_counts.values())
         fetched_content = fx.select(
             F.lit(wave).alias("wave"), "url", "surt", "status", "sha1", "n_spans"
         )
-        self._stage_async("fetched_content", fetched_content, wave, mode="delta")
-        status_counts = {r["status"]: r["cnt"] for r in srows}
-        pages = sum(status_counts.values())
+        self._stage_async(
+            "fetched_content", self._sized(fetched_content, pages), wave,
+            mode="delta",
+        )
         maxd = max([r["maxd"] for r in srows], default=0)
         n_requeue = sum(r["retriable"] for r in srows if r["status"] == 599)
         for st in sorted(status_counts):
@@ -1007,7 +1050,9 @@ class CrawlEngine:
             )
             self._stage_async("host_counts", hc, wave, mode="full")
         else:
-            self._stage_async("host_counts", hc_delta, wave, mode="delta")
+            self._stage_async(
+                "host_counts", self._sized(hc_delta, pages), wave, mode="delta"
+            )
 
         # --- retries (tries gate; fetch_and_process retry path†)
         r = fx.filter(F.col("status") == 599)
@@ -1047,7 +1092,12 @@ class CrawlEngine:
             F.lit(wave).alias("wave"),
             "from_url", "from_surt", "to_url", "to_surt", "kind",
         )
-        self._stage_async("redirects", redirects_out, wave, mode="delta")
+        self._stage_async(
+            "redirects",
+            self._sized(redirects_out, status_counts.get(301, 0)),
+            wave,
+            mode="delta",
+        )
         redirect_cands = rd.select(
             F.col("_redirect_tgt").alias("raw"),
             F.col("url").alias("base"),
@@ -1071,7 +1121,9 @@ class CrawlEngine:
             "doc_id", "ord", F.col("l.target").alias("target"),
             F.col("l.kind").alias("kind"), F.col("l.span_offset").alias("span_offset"),
         )
-        self._stage_async("outlinks", outlinks_flat, wave, mode="delta")
+        self._stage_async(
+            "outlinks", self._sized(outlinks_flat, pages * 40), wave, mode="delta"
+        )
 
         # --- facets data product (SURVEY §1 row 13): small key→value
         # map per parsed doc, exploded into a (wave, url, key, value)
@@ -1092,7 +1144,9 @@ class CrawlEngine:
             "url",
             F.explode(fmap).alias("key", "value"),
         )
-        self._stage_async("facets", facets, wave, mode="delta")
+        self._stage_async(
+            "facets", self._sized(facets, pages * 3), wave, mode="delta"
+        )
 
         link_cands = ol.select(
             "url", "priority", "depth", F.explode("outlinks").alias("l")
