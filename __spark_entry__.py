@@ -581,6 +581,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pipeline"] = train_pipeline
 
+    def train_pipeline_embed(spark, sf):
+        """train_pipeline plus the optional semantic stage: embedding-
+        cosine near-dups among the MinHash survivors dropped via the
+        LSH-bucket equi-join (no cross product); graded end-to-end
+        against the composed DuckDB twin."""
+        from cocrawler_spark.plans.pipeline import train_data_pipeline
+
+        d = _ts(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        emb = _ts(spark, sf, "embeddings")
+        return train_data_pipeline(
+            d, text_col="text", id_col="id",
+            minhash_k=8, bands=4, shingle_n=3, max_bucket=1024,
+            min_tokens=5, min_alpha_ratio=0.5, min_stopword_ratio=0.0,
+            langs=("en",),
+            embeddings=emb, emb_id_col="vec_id", emb_vec_col="embedding",
+            emb_threshold=0.3, emb_n_planes=6,
+        )
+
+    q["train_pipeline_embed"] = train_pipeline_embed
+
     # --- registered-domain (eTLD+1) longest-suffix match (SURVEY §2c/§2e) ----
     def per_domain_topk(spark, sf):
         """Hosts spanning 1-label and 2-label public suffixes plus a deep
@@ -1030,9 +1052,23 @@ m AS (SELECT doc_id, list_max([{_langid_structs()}]) AS mx FROM t)
 SELECT doc_id, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang_pred FROM m"""
 
     # end-to-end training pipeline: exact collapse → LSH losers →
-    # survivors → quality/langid gates, composed from the same CTE
-    # pieces the individual dedup/text oracles use
-    s["train_pipeline"] = f"""
+    # survivors → [optional embedding near-dup losers] → quality/langid
+    # gates, composed from the same CTE pieces the individual
+    # dedup/text oracles use
+    def _train_pipeline_sql(embed: bool) -> str:
+        emb_ctes = f""",
+eb AS (
+  SELECT e.vec_id AS id, e.embedding,
+         {lsh_bucket_sql('embedding', 6)} AS bucket
+  FROM embeddings e JOIN surv ON e.vec_id = surv.id),
+elosers AS (
+  SELECT DISTINCT b.id AS id FROM eb a JOIN eb b
+    ON a.bucket = b.bucket AND a.id < b.id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.3),
+surv2 AS (SELECT * FROM surv WHERE id NOT IN (SELECT id FROM elosers))"""
+        gate_src = "surv2" if embed else "surv"
+        return f"""
 WITH reps AS (
   SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents GROUP BY md5(text)
 ),
@@ -1047,8 +1083,8 @@ losers AS (
     ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
 surv AS (
   SELECT doc_id AS id, text FROM reps
-  WHERE doc_id NOT IN (SELECT id FROM losers)),
-t AS (SELECT id, text, {tokens_sql('text')} AS toks FROM surv),
+  WHERE doc_id NOT IN (SELECT id FROM losers)){emb_ctes if embed else ''},
+t AS (SELECT id, text, {tokens_sql('text')} AS toks FROM {gate_src}),
 g AS (
   SELECT id, text,
     CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -1063,6 +1099,9 @@ SELECT id, text, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang,
 FROM g
 WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
   AND (CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END) IN ('en')"""
+
+    s["train_pipeline"] = _train_pipeline_sql(embed=False)
+    s["train_pipeline_embed"] = _train_pipeline_sql(embed=True)
 
     fp_inner = md5_hash64_sql("array_to_string(t[i:i+2], ' ')")
     s["text_fingerprint"] = f"""

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import langid_col, quality_cols
 from ..operators.dedup import _exact_representatives, minhash_lsh_pairs
+from ..operators.similarity import embedding_neardup_pairs
 
 
 def train_data_pipeline(
@@ -57,13 +58,26 @@ def train_data_pipeline(
     min_alpha_ratio: float = 0.5,
     min_stopword_ratio: float = 0.0,
     langs: tuple[str, ...] = ("en",),
+    embeddings: Optional[DataFrame] = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+    emb_threshold: float = 0.3,
+    emb_n_planes: int = 6,
 ) -> DataFrame:
     """(id, text) → surviving train-ready docs with their gate columns.
 
     Returns (id, text, lang, n_tokens, alpha_ratio, stopword_ratio) for
     every doc that survives exact dedup, near-dup dropping, and the
     quality/language gates. `id` must be orderable (min-id survivor
-    rules on both dedup stages)."""
+    rules on every dedup stage).
+
+    If ``embeddings`` is given ((emb_id_col, emb_vec_col) rows keyed by
+    the same ids), a third dedup stage drops embedding-cosine near-dups
+    among the MinHash survivors: LSH-bucketed candidate pairs only
+    (equi-join on the hyperplane bucket — the 100 TB path of
+    ``embedding_neardup_pairs``; no cross product), cosine ≥
+    ``emb_threshold`` drops the larger id. Docs without an embedding
+    row pass the stage untouched."""
     # 1. exact collapse: one hash groupBy, min-id representative
     reps = _exact_representatives(docs, text_col, id_col)
 
@@ -75,6 +89,20 @@ def train_data_pipeline(
     )
     losers = pairs.select(F.col("id_b").alias("id")).distinct()
     survivors = reps.join(losers, "id", "left_anti")
+
+    # 2b. optional semantic near-dup stage: embedding-cosine pairs among
+    # the survivors that have an embedding (left-semi restriction first,
+    # so the bucket join never sees already-dropped docs)
+    if embeddings is not None:
+        emb = embeddings.select(
+            F.col(emb_id_col).alias("id"), F.col(emb_vec_col).alias("_v")
+        ).join(survivors.select("id"), "id", "left_semi")
+        epairs = embedding_neardup_pairs(
+            emb, vec_col="_v", id_col="id",
+            threshold=emb_threshold, n_planes=emb_n_planes,
+        )
+        elosers = epairs.select(F.col("id_b").alias("id")).distinct()
+        survivors = survivors.join(elosers, "id", "left_anti")
 
     # 3+4. quality + language gates: pure JVM expressions, one pass
     qc = quality_cols(F.col(text_col))
