@@ -145,3 +145,17 @@ def test_global_seq(spark):
     assert seqs == list(range(1, 501))
     for d in keep:
         d.unpersist()
+
+
+def test_sized_write_partitioning(spark):
+    from cocrawler_spark.plans.crawl import CrawlEngine
+
+    df = spark.range(1000).repartition(32)
+    # tiny known delta -> one task/file
+    assert CrawlEngine._sized(df, 500).rdd.getNumPartitions() == 1
+    # mid-size -> ceil(rows/200k) tasks
+    assert CrawlEngine._sized(df, 450_000).rdd.getNumPartitions() == 3
+    # huge estimate -> coalesce(n >= partitions) is a no-op
+    assert CrawlEngine._sized(df, 50_000_000).rdd.getNumPartitions() == 32
+    # unknown -> untouched
+    assert CrawlEngine._sized(df, None).rdd.getNumPartitions() == 32
