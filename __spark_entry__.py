@@ -603,6 +603,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pipeline_embed"] = train_pipeline_embed
 
+    def train_pipeline_cc(spark, sf):
+        """train_pipeline with the transitive survivor rule: connected
+        components over the LSH candidate-pair graph (alternating
+        large-star/small-star), keep each component's min-id root —
+        collapses A~B~C chains the one-pass pairwise rule misses. The
+        DuckDB twin computes the same components via a recursive
+        reachability CTE."""
+        from cocrawler_spark.plans.pipeline import train_data_pipeline
+
+        d = _ts(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        return train_data_pipeline(
+            d, text_col="text", id_col="id",
+            minhash_k=8, bands=4, shingle_n=3, max_bucket=1024,
+            min_tokens=5, min_alpha_ratio=0.5, min_stopword_ratio=0.0,
+            langs=("en",), neardup="components",
+        )
+
+    q["train_pipeline_cc"] = train_pipeline_cc
+
+    # --- near-dup clustering: connected components over LSH pairs ------------
+    def dedup_cluster_components(spark, sf):
+        """MinHash-LSH candidate pairs → transitive near-dup clusters
+        (id, component=min id of its component) via the alternating
+        large-star/small-star MapReduce CC algorithm — the collapse rule
+        production dedup pipelines apply before picking one
+        representative per boilerplate family."""
+        from cocrawler_spark.operators.clustering import connected_components
+
+        pairs = minhash_lsh_pairs(
+            _ts(spark, sf, "documents"), "text", "doc_id", k=8, bands=4,
+            precollapse=True, max_bucket=1024,
+        )
+        return connected_components(pairs, "id_a", "id_b")
+
+    q["dedup_cluster_components"] = dedup_cluster_components
+
+    # --- text analysis: repetition signals + PII scrub ------------------------
+    def text_repetition(spark, sf):
+        """Gopher-style duplicate n-gram fractions (n=1,2,3) per doc —
+        the machine-generated/boilerplate text signal."""
+        from cocrawler_spark.functions.text import repetition_cols
+
+        d = _ts(spark, sf, "documents")
+        cols = repetition_cols(F.col("text"))
+        return d.select(
+            "doc_id",
+            cols["dup_token_frac"].alias("dup_token_frac"),
+            cols["dup_bigram_frac"].alias("dup_bigram_frac"),
+            cols["dup_trigram_frac"].alias("dup_trigram_frac"),
+        )
+
+    q["text_repetition"] = text_repetition
+
+    def text_pii_redact(spark, sf):
+        """PII scrub over text carrying deterministic synthetic PII
+        (an email + an IPv4 derived from doc_id, appended identically
+        on both engines so the redaction has real matches to grade):
+        emails → <EMAIL>, IPv4 → <IP>, plus match counts."""
+        from cocrawler_spark.functions.text import pii_cols
+
+        d = _ts(spark, sf, "documents")
+        t = F.concat(
+            F.col("text"),
+            F.lit(" contact: user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.2."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        )
+        cols = pii_cols(t)
+        return d.select(
+            "doc_id",
+            cols["n_emails"].alias("n_emails"),
+            cols["n_ips"].alias("n_ips"),
+            cols["redacted"].alias("redacted"),
+        )
+
+    q["text_pii_redact"] = text_pii_redact
+
     # --- registered-domain (eTLD+1) longest-suffix match (SURVEY §2c/§2e) ----
     def per_domain_topk(spark, sf):
         """Hosts spanning 1-label and 2-label public suffixes plus a deep
@@ -1055,7 +1134,28 @@ SELECT doc_id, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang_pred FROM m"
     # survivors → [optional embedding near-dup losers] → quality/langid
     # gates, composed from the same CTE pieces the individual
     # dedup/text oracles use
-    def _train_pipeline_sql(embed: bool) -> str:
+    def _train_pipeline_sql(embed: bool, neardup: str = "pairwise") -> str:
+        # losers CTE: pairwise = docs paired with a smaller id;
+        # components = every non-root member of a connected component
+        # of the candidate-pair graph (recursive reachability, exact)
+        if neardup == "components":
+            losers_cte = """cpairs AS (
+  SELECT a.id AS id_a, b.id AS id_b FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+cedges AS (
+  SELECT id_a AS u, id_b AS v FROM cpairs
+  UNION SELECT id_b AS u, id_a AS v FROM cpairs),
+reach(rid, r) AS (
+  SELECT u, u FROM cedges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN cedges e ON e.u = reach.rid),
+losers AS (
+  SELECT rid AS id FROM (SELECT rid, MIN(r) AS component FROM reach GROUP BY rid)
+  WHERE rid <> component)"""
+        else:
+            losers_cte = """losers AS (
+  SELECT DISTINCT b.id AS id FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)"""
         emb_ctes = f""",
 eb AS (
   SELECT e.vec_id AS id, e.embedding,
@@ -1068,8 +1168,9 @@ elosers AS (
                                CAST(b.embedding AS DOUBLE[])) >= 0.3),
 surv2 AS (SELECT * FROM surv WHERE id NOT IN (SELECT id FROM elosers))"""
         gate_src = "surv2" if embed else "surv"
+        recursive = "RECURSIVE " if neardup == "components" else ""
         return f"""
-WITH reps AS (
+WITH {recursive}reps AS (
   SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents GROUP BY md5(text)
 ),
 {_SHINGLES_CTE.replace("FROM documents", "FROM reps")},
@@ -1078,9 +1179,7 @@ banded AS ({band_selects}),
 bsz AS (SELECT band, bkey, COUNT(*) AS n FROM banded GROUP BY band, bkey),
 ok AS (SELECT band, bkey FROM bsz WHERE n > 1 AND n <= 1024),
 kept AS (SELECT banded.* FROM banded JOIN ok USING (band, bkey)),
-losers AS (
-  SELECT DISTINCT b.id AS id FROM kept a JOIN kept b
-    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+{losers_cte},
 surv AS (
   SELECT doc_id AS id, text FROM reps
   WHERE doc_id NOT IN (SELECT id FROM losers)){emb_ctes if embed else ''},
@@ -1102,6 +1201,25 @@ WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
 
     s["train_pipeline"] = _train_pipeline_sql(embed=False)
     s["train_pipeline_embed"] = _train_pipeline_sql(embed=True)
+    s["train_pipeline_cc"] = _train_pipeline_sql(embed=False, neardup="components")
+
+    # transitive near-dup clusters over the LSH candidate pairs: exact
+    # recursive reachability wrapped around the pairs oracle above
+    from cocrawler_spark.operators.clustering import cc_oracle_sql
+
+    s["dedup_cluster_components"] = cc_oracle_sql(s["dedup_minhash_lsh_pairs"])
+
+    from cocrawler_spark.functions.text import pii_sql, repetition_sql
+
+    s["text_repetition"] = repetition_sql("text")
+    s["text_pii_redact"] = f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com via 10.2.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7' AS t
+  FROM documents)
+SELECT doc_id, {pii_sql('t')} FROM p"""
 
     fp_inner = md5_hash64_sql("array_to_string(t[i:i+2], ' ')")
     s["text_fingerprint"] = f"""

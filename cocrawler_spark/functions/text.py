@@ -130,6 +130,87 @@ def quality_cols(text: Column) -> dict[str, Column]:
 
 
 # ---------------------------------------------------------------------------
+# repetition signals — Gopher-style duplicate n-gram fractions
+# ---------------------------------------------------------------------------
+
+def _ngrams_col(toks: Column, n: int) -> Column:
+    """word n-grams of a token array; short docs fall back to one
+    (shorter) gram — the same convention as shingle_hashes_col."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def repetition_cols(text: Column) -> dict[str, Column]:
+    """Duplicate n-gram fractions (1 - distinct/total for n = 1, 2, 3):
+    the machine-generated / boilerplate text signal from the Gopher
+    quality rules (Rae et al. 2021, §A1.1) — high values mean the doc
+    repeats itself. Pure JVM expressions, linear in doc length."""
+    toks = tokens_col(text)
+    out: dict[str, Column] = {}
+    for n, name in ((1, "dup_token_frac"), (2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
+        g = _ngrams_col(toks, n)
+        out[name] = F.round(
+            F.lit(1.0) - F.size(F.array_distinct(g)) / F.greatest(F.size(g), F.lit(1)),
+            6,
+        )
+    return out
+
+
+def repetition_sql(expr: str) -> str:
+    """DuckDB twin of repetition_cols (same short-doc fallback)."""
+    cols = []
+    for n, name in ((1, "dup_token_frac"), (2, "dup_bigram_frac"), (3, "dup_trigram_frac")):
+        g = (
+            f"list_transform(range(1, greatest(len(t) - {n - 1}, 1) + 1), "
+            f"i -> array_to_string(t[i:i+{n - 1}], ' '))"
+        )
+        cols.append(
+            f"ROUND(1.0 - len(list_distinct({g})) / greatest(len({g}), 1), 6) AS {name}"
+        )
+    return f"SELECT doc_id, {', '.join(cols)} FROM (SELECT doc_id, {tokens_sql(expr)} AS t FROM documents)"
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex redaction (emails, IPv4), dialect-portable patterns
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: char classes, bounded repetition, \b word
+# boundaries — no lookaround, no backrefs.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def pii_cols(text: Column) -> dict[str, Column]:
+    """Counts + redacted text for the standard pre-training scrub:
+    emails → <EMAIL>, IPv4 → <IP>. Emails are redacted first so an
+    address's host part is never half-eaten by the IP pass."""
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    return {
+        "n_emails": n_emails.cast("int"),
+        "n_ips": n_ips.cast("int"),
+        "redacted": redacted,
+    }
+
+
+def pii_sql(expr: str) -> str:
+    """DuckDB twin of pii_cols over a text expression."""
+    e, i = EMAIL_RE.replace("'", "''"), IPV4_RE.replace("'", "''")
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '{e}')) AS INT) AS n_emails, "
+        f"CAST(len(regexp_extract_all({expr}, '{i}')) AS INT) AS n_ips, "
+        f"regexp_replace(regexp_replace({expr}, '{e}', '<EMAIL>', 'g'), "
+        f"'{i}', '<IP>', 'g') AS redacted"
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprint — min over word-shingle hashes (rolling-hash analog)
 # ---------------------------------------------------------------------------
 

@@ -85,8 +85,11 @@ def train_pipeline_mirror(
     min_alpha_ratio: float = 0.5,
     min_stopword_ratio: float = 0.0,
     langs: tuple[str, ...] = ("en",),
+    neardup: str = "pairwise",
 ) -> set[str]:
-    """docs: {id: text} → set of surviving ids."""
+    """docs: {id: text} → set of surviving ids. neardup='components'
+    mirrors the transitive connected-components survivor rule
+    (union-find over the candidate pairs, keep each component's min)."""
     # 1. exact collapse: min-id representative per byte-identical text
     by_text: dict[str, str] = {}
     for i in sorted(docs):
@@ -108,13 +111,42 @@ def train_pipeline_mirror(
             bkey = hashlib.md5(",".join(str(c) for c in cols).encode()).hexdigest()
             buckets.setdefault((b, bkey), []).append(i)
     losers: set[str] = set()
-    for members in buckets.values():
-        if len(members) < 2:
-            continue
-        if max_bucket is not None and len(members) > max_bucket:
-            continue
-        keep = min(members)
-        losers.update(m for m in members if m != keep)
+    if neardup == "components":
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            if max_bucket is not None and len(members) > max_bucket:
+                continue
+            ra = find(members[0])
+            for m in members[1:]:
+                rb = find(m)
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+                    ra = lo
+        comp: dict[str, list[str]] = {}
+        for x in list(parent):
+            comp.setdefault(find(x), []).append(x)
+        for root, members in comp.items():
+            all_m = members + [root]
+            keep = min(all_m)
+            losers.update(m for m in all_m if m != keep)
+    else:
+        for members in buckets.values():
+            if len(members) < 2:
+                continue
+            if max_bucket is not None and len(members) > max_bucket:
+                continue
+            keep = min(members)
+            losers.update(m for m in members if m != keep)
     survivors = {i: t for i, t in reps.items() if i not in losers}
 
     # 3+4. quality + language gates

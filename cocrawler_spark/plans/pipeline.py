@@ -20,12 +20,18 @@ stages are pure JVM column expressions. At 10^10 pages the plan's
 only wide ops are the dedup shuffles, all keyed by content hashes
 (uniform by construction).
 
-Near-dup survivor rule (deterministic, SQL-twinnable): for every LSH
-candidate pair (id_a < id_b) the LARGER id is dropped — i.e. a doc
-survives iff no candidate pairs it with a smaller id. Single-linkage
-transitive clustering would need an iterative connected-components
-pass; the pairwise min-id rule is the standard one-pass variant and
-is what the DuckDB oracle mirrors exactly.
+Near-dup survivor rule (deterministic, SQL-twinnable), two variants:
+- ``neardup="pairwise"`` (default): for every LSH candidate pair
+  (id_a < id_b) the LARGER id is dropped — a doc survives iff no
+  candidate pairs it with a smaller id. One pass, no iteration.
+- ``neardup="components"``: transitive single-linkage — connected
+  components over the candidate-pair graph
+  (operators/clustering.py, alternating large-star/small-star), keep
+  only each component's min-id root. Collapses A~B~C chains the
+  pairwise rule under-collapses (components ⊆ pairwise survivors
+  never holds the other way: every pairwise loser is also a
+  non-root). The DuckDB oracle mirrors both exactly (the components
+  variant via a recursive reachability CTE).
 
 Correctness: tests/test_engine_oracle.py::test_training_pipeline_*
 asserts the surviving doc set against a pure-Python mirror on the
@@ -63,6 +69,7 @@ def train_data_pipeline(
     emb_vec_col: str = "embedding",
     emb_threshold: float = 0.3,
     emb_n_planes: int = 6,
+    neardup: str = "pairwise",
 ) -> DataFrame:
     """(id, text) → surviving train-ready docs with their gate columns.
 
@@ -87,7 +94,15 @@ def train_data_pipeline(
         reps, text_col, "id", k=minhash_k, bands=bands, shingle_n=shingle_n,
         precollapse=False, max_bucket=max_bucket,
     )
-    losers = pairs.select(F.col("id_b").alias("id")).distinct()
+    if neardup == "components":
+        from ..operators.clustering import connected_components
+
+        comps = connected_components(pairs, "id_a", "id_b")
+        losers = comps.filter(F.col("id") != F.col("component")).select("id")
+    elif neardup == "pairwise":
+        losers = pairs.select(F.col("id_b").alias("id")).distinct()
+    else:
+        raise ValueError(f"neardup must be 'pairwise' or 'components', got {neardup!r}")
     survivors = reps.join(losers, "id", "left_anti")
 
     # 2b. optional semantic near-dup stage: embedding-cosine pairs among
