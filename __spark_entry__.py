@@ -800,6 +800,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dns_resolve"] = dns_resolve
 
+    # --- corpus curation: decontamination / sampling / mixing / boilerplate --
+    def text_decontaminate(spark, sf):
+        """Benchmark decontamination: docs sharing any word-3-gram
+        shingle with the 'eval' slice (doc_id % 97 == 0) are flagged;
+        eval shingles broadcast, doc side never shuffles on content."""
+        from cocrawler_spark.operators.curation import decontaminate
+
+        d = _ts(spark, sf, "documents")
+        out = decontaminate(
+            d.filter(F.col("doc_id") % 97 != 0),
+            d.filter(F.col("doc_id") % 97 == 0),
+            text_col="text", id_col="doc_id", shingle_n=3,
+        )
+        return out.select("doc_id", "n_hits", "contaminated")
+
+    q["text_decontaminate"] = text_decontaminate
+
+    def sample_stratified(spark, sf):
+        """Deterministic per-language downsampling via a content-
+        independent id hash — zero-shuffle, reproducible training-mix
+        sampling."""
+        from cocrawler_spark.operators.curation import stratified_sample
+
+        d = _t(spark, sf, "documents")
+        out = stratified_sample(
+            d, "lang", {"en": 0.5, "de": 0.25, "fr": 0.1},
+            id_col="doc_id", default_rate=0.05,
+        )
+        return out.select("doc_id", "lang")
+
+    q["sample_stratified"] = sample_stratified
+
+    def mix_token_budget(spark, sf):
+        """Token-budget mixture selection: per source, keep docs in
+        ascending-id order while the running token total stays ≤ 1500 —
+        the 'N tokens per source' step of training-mix construction."""
+        from cocrawler_spark.operators.curation import token_budget_take
+
+        d = _ts(spark, sf, "documents")
+        out = token_budget_take(
+            d, "source", 1500, text_col="text", id_col="doc_id"
+        )
+        return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+    q["mix_token_budget"] = mix_token_budget
+
+    def text_boilerplate(spark, sf):
+        """CCNet-style corpus-level boilerplate score: fraction of each
+        doc's distinct shingles whose corpus document frequency ≥ 2."""
+        from cocrawler_spark.operators.curation import boilerplate_score
+
+        out = boilerplate_score(
+            _ts(spark, sf, "documents"), text_col="text", id_col="doc_id",
+            shingle_n=3, min_df=2,
+        )
+        return out.select(
+            F.col("id").alias("doc_id"), "n_shingles", "n_hot",
+            "boilerplate_frac",
+        )
+
+    q["text_boilerplate"] = text_boilerplate
+
     return q
 
 
@@ -1437,5 +1499,45 @@ WITH h AS (
 SELECT host, {fake_dns_ip_sql('host')} AS ip,
        {resolved_private_host_sql('host')} AS is_private
 FROM h"""
+
+    # --- corpus curation -----------------------------------------------------
+    s["text_decontaminate"] = f"""
+WITH {_SHINGLES_CTE},
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_hits
+  FROM sh s JOIN ev USING (sh) WHERE s.doc_id % 97 <> 0
+  GROUP BY s.doc_id)
+SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0"""
+
+    from cocrawler_spark.operators.curation import sample_hash_sql
+
+    s["sample_stratified"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {sample_hash_sql('doc_id')} <
+  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+            WHEN 'fr' THEN 100000 ELSE 50000 END"""
+
+    s["mix_token_budget"] = f"""
+WITH t AS (SELECT doc_id, source,
+                  CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 1500"""
+
+    s["text_boilerplate"] = f"""
+WITH {_SHINGLES_CTE},
+dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+SELECT s.doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+       ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / greatest(COUNT(*), 1), 6)
+         AS boilerplate_frac
+FROM sh s JOIN dfreq USING (sh) GROUP BY s.doc_id"""
 
     return s

@@ -1,0 +1,197 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond dedup (operators/dedup.py) and per-doc text signals
+(functions/text.py), a production crawl→training-data pipeline needs
+corpus-level curation steps:
+
+- **benchmark decontamination** — drop/flag training docs that share
+  word n-grams with an evaluation/benchmark set (the standard
+  GPT-3-style 13-gram overlap rule; Brown et al. 2020, §C). The eval
+  side is benchmark-sized (thousands of docs), so the plan is an
+  exploded shingle semi-join against a BROADCAST eval shingle set —
+  the 100 TB doc side never shuffles on content.
+- **deterministic stratified sampling** — per-stratum keep rates
+  applied via a content-independent hash of the doc id. Pure map-side
+  column expressions (CASE over plan-literal thresholds): zero
+  shuffles, reproducible across runs/partitionings, and the same doc
+  set survives on Spark and DuckDB byte-for-byte.
+- **token-budget mixture selection** — keep docs per stratum, in a
+  deterministic order, until a token budget fills: the "mix N billion
+  tokens of each source" step of training-mix construction. One hash
+  shuffle + per-stratum window cumsum.
+- **boilerplate scoring** — fraction of a doc's distinct shingles that
+  are corpus-hot (document frequency ≥ min_df): the CCNet-style
+  corpus-level boilerplate signal (Wenzek et al. 2020 use line-level
+  df; the synthetic corpus is single-line, so the shingle is the
+  repeated-unit granularity here). Shingle-df join, same plan shape
+  as ngram_jaccard's candidate machinery.
+
+Scale notes (10^10-doc regime): decontaminate and stratified_sample
+add NO doc-side shuffle (broadcast join / map-only). boilerplate_score
+shuffles shingle hashes twice (df count + rejoin) — uniform keys by
+construction. token_budget_take windows per stratum: each stratum's
+rows sort within one task, so strata must be coarse-grained units
+(language, source bucket) whose per-stratum row counts fit a task; for
+a mega-stratum, pre-bucket by hash(id) and budget per sub-bucket, or
+use the two-phase rank machinery in operators/ordering.py.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_hash64_col, token_count_col
+from .dedup import shingle_hashes_col
+
+SAMPLE_DENOM = 1_000_000
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    eval_text_col: Optional[str] = None,
+    shingle_n: int = 3,
+    drop: bool = False,
+) -> DataFrame:
+    """Flag (or drop) training docs sharing ≥1 word n-gram shingle with
+    the eval set.
+
+    Returns docs plus (n_hits, contaminated) columns — n_hits = number
+    of the doc's DISTINCT shingles that appear anywhere in the eval
+    set. With ``drop=True`` returns only clean docs (original columns).
+
+    Plan: eval → distinct shingle hashes (broadcast; benchmarks are
+    tiny relative to the corpus) → doc shingles explode → broadcast
+    equi-join → per-doc hit count → left join back. The doc side is
+    never shuffled on content."""
+    ev = eval_text_col or text_col
+    eval_sh = (
+        eval_docs.select(
+            F.explode(shingle_hashes_col(F.col(ev), shingle_n)).alias("sh")
+        ).distinct()
+    )
+    doc_sh = docs.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(shingle_hashes_col(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy("_cid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    out = (
+        docs.join(hits, docs[id_col] == hits["_cid"], "left")
+        .drop("_cid")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)).cast("long"))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )
+    if drop:
+        return out.filter(~F.col("contaminated")).drop("n_hits", "contaminated")
+    return out
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    rates: Mapping[str, float],
+    id_col: str = "id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a doc iff
+    md5h(id) mod 10^6 < floor(rate(stratum) * 10^6).
+
+    The hash is over the doc ID (content-independent), so the surviving
+    set is stable under reprocessing, repartitioning, and text edits —
+    the property training-mix reproducibility needs. Rates are plan
+    literals (CASE chain): the whole operator is one map-side filter,
+    zero shuffles at any scale."""
+    u = F.pmod(md5_hash64_col(F.col(id_col).cast("string")), F.lit(SAMPLE_DENOM))
+    thresh = None
+    for stratum in sorted(rates):
+        t = F.lit(int(rates[stratum] * SAMPLE_DENOM))
+        thresh = (
+            F.when(F.col(stratum_col) == stratum, t)
+            if thresh is None
+            else thresh.when(F.col(stratum_col) == stratum, t)
+        )
+    thresh = (
+        thresh.otherwise(F.lit(int(default_rate * SAMPLE_DENOM)))
+        if thresh is not None
+        else F.lit(int(default_rate * SAMPLE_DENOM))
+    )
+    return docs.filter(u < thresh)
+
+
+def sample_hash_sql(id_expr: str) -> str:
+    """DuckDB twin of the stratified_sample hash bucket."""
+    from ..functions.text import md5_hash64_sql
+
+    h = md5_hash64_sql(f"CAST({id_expr} AS VARCHAR)")
+    return f"(({h}) % {SAMPLE_DENOM} + {SAMPLE_DENOM}) % {SAMPLE_DENOM}"
+
+
+def token_budget_take(
+    docs: DataFrame,
+    stratum_col: str,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> DataFrame:
+    """Per stratum, keep docs in ascending-id order while the running
+    token total (including the current doc) stays ≤ budget_tokens.
+
+    Docs past the budget are dropped even if a later smaller doc would
+    still fit — the deterministic "fill in priority order" rule, not
+    bin packing. Adds (n_tokens, cum_tokens) columns. One hash shuffle
+    on the stratum + a per-stratum sorted window; see the module
+    docstring for the mega-stratum caveat."""
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("n_tokens", token_count_col(F.col(text_col)).cast("long"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
+def boilerplate_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    shingle_n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """(id, n_shingles, n_hot, boilerplate_frac): per doc, the fraction
+    of its distinct shingles whose corpus document frequency is
+    ≥ min_df. High values mean the doc is built from text units
+    repeated across the corpus (boilerplate / template families).
+
+    Plan: one shingle explode (distinct per doc by construction), one
+    groupBy(sh) for df, one equi-join back, one groupBy(id). All keys
+    are 60-bit hashes — uniform, no skew salting needed."""
+    doc_sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes_col(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    dfreq = doc_sh.groupBy("sh").agg(F.count("*").alias("df"))
+    return (
+        doc_sh.join(dfreq, "sh")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") >= min_df).cast("long")).alias("n_hot"),
+            F.round(
+                F.sum((F.col("df") >= min_df).cast("long"))
+                / F.greatest(F.count("*"), F.lit(1)),
+                6,
+            ).alias("boilerplate_frac"),
+        )
+    )

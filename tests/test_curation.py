@@ -1,0 +1,147 @@
+"""Corpus-curation operators (operators/curation.py): decontamination,
+deterministic stratified sampling, token-budget mixing, boilerplate
+scoring — each checked against a straightforward pure-Python mirror on
+small synthetic corpora (same verification style as the dedup suite)."""
+
+import hashlib
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _tokens(text):
+    return [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+
+
+def _shingles(text, n=3):
+    toks = _tokens(text)
+    k = max(len(toks) - (n - 1), 1)
+    grams = {" ".join(toks[i : i + n]) for i in range(k)}
+    return {int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams}
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "the quick brown fox naps under the old tree"),
+    (4, "completely unrelated words about spark shuffles and joins"),
+    (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+]
+EVAL = [
+    (100, "the quick brown fox is a benchmark sentence"),
+    (101, "spark shuffles and joins are measured here"),
+]
+
+
+def test_decontaminate_flags(spark):
+    from cocrawler_spark.operators.curation import decontaminate
+
+    out = decontaminate(
+        _docs_df(spark, DOCS), _docs_df(spark, EVAL), "text", "id"
+    ).collect()
+    eval_sh = set().union(*(_shingles(t) for _, t in EVAL))
+    expect = {i: len(_shingles(t) & eval_sh) for i, t in DOCS}
+    got = {r["id"]: r["n_hits"] for r in out}
+    assert got == expect
+    assert all(r["contaminated"] == (r["n_hits"] > 0) for r in out)
+    # the construction is non-degenerate: some docs hit, some don't
+    assert any(v > 0 for v in expect.values())
+    assert any(v == 0 for v in expect.values())
+
+
+def test_decontaminate_drop(spark):
+    from cocrawler_spark.operators.curation import decontaminate
+
+    docs = _docs_df(spark, DOCS)
+    kept = decontaminate(docs, _docs_df(spark, EVAL), "text", "id", drop=True)
+    assert kept.columns == docs.columns
+    eval_sh = set().union(*(_shingles(t) for _, t in EVAL))
+    expect = {i for i, t in DOCS if not (_shingles(t) & eval_sh)}
+    assert {r["id"] for r in kept.collect()} == expect
+
+
+def test_stratified_sample_deterministic(spark):
+    from cocrawler_spark.operators.curation import (
+        SAMPLE_DENOM,
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    rates = {"en": 0.5, "de": 0.1}
+    out = stratified_sample(df, "lang", rates, id_col="id")
+    got = {r["id"] for r in out.collect()}
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % SAMPLE_DENOM
+
+    expect = {
+        i for i, lang in rows if h(i) < int(rates[lang] * SAMPLE_DENOM)
+    }
+    assert got == expect
+    # repartitioning must not change the surviving set
+    got2 = {r["id"] for r in stratified_sample(
+        df.repartition(7), "lang", rates, id_col="id"
+    ).collect()}
+    assert got2 == got
+    # rates are honored within sampling tolerance on this fixed hash
+    n_en = sum(1 for i in expect if i % 2)
+    assert 60 <= n_en <= 140  # 200 en docs at rate 0.5
+
+
+def test_stratified_sample_default_rate(spark):
+    from cocrawler_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame([(i, "zz") for i in range(50)], "id long, lang string")
+    assert stratified_sample(df, "lang", {"en": 1.0}, id_col="id").count() == 0
+    assert (
+        stratified_sample(df, "lang", {"en": 1.0}, id_col="id", default_rate=1.0)
+        .count() == 50
+    )
+
+
+def test_token_budget_take(spark):
+    from cocrawler_spark.operators.curation import token_budget_take
+
+    rows = [
+        (1, "a", "one two three"),            # 3 tokens, cum 3
+        (2, "a", "four five six seven"),      # 4 tokens, cum 7
+        (3, "a", "eight nine"),               # 2 tokens, cum 9 > 8 -> drop
+        (4, "a", "ten"),                      # cum would be 10 -> drop (no backfill)
+        (10, "b", "alpha beta"),              # cum 2
+    ]
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+    out = token_budget_take(df, "src", 8, text_col="text", id_col="id")
+    got = {(r["id"], r["cum_tokens"]) for r in out.collect()}
+    assert got == {(1, 3), (2, 7), (10, 2)}
+
+
+def test_boilerplate_score(spark):
+    from cocrawler_spark.operators.curation import boilerplate_score
+
+    out = boilerplate_score(
+        _docs_df(spark, DOCS), "text", "id", shingle_n=3, min_df=2
+    ).collect()
+    sh = {i: _shingles(t) for i, t in DOCS}
+    from collections import Counter
+
+    df_counts = Counter(h for s in sh.values() for h in s)
+    for r in out:
+        mine = sh[r["id"]]
+        hot = sum(1 for h in mine if df_counts[h] >= 2)
+        assert r["n_shingles"] == len(mine)
+        assert r["n_hot"] == hot
+        assert abs(r["boilerplate_frac"] - round(hot / max(len(mine), 1), 6)) < 1e-9
+    # exact dups (1,5) are 100% hot; doc 4 shares nothing except the
+    # eval-independent corpus, so it must be mostly cold
+    frac = {r["id"]: r["boilerplate_frac"] for r in out}
+    assert frac[1] == 1.0 and frac[5] == 1.0
+    assert frac[4] == 0.0
