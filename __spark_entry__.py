@@ -624,6 +624,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pipeline_cc"] = train_pipeline_cc
 
+    def train_pipeline_decon(spark, sf):
+        """train_pipeline plus the benchmark-decontamination stage:
+        the eval slice (doc_id % 97 == 0) is held out, and pipeline
+        survivors sharing any shingle with it are dropped before the
+        quality/langid gates."""
+        from cocrawler_spark.plans.pipeline import train_data_pipeline
+
+        d = _ts(spark, sf, "documents")
+        return train_data_pipeline(
+            d.filter(F.col("doc_id") % 97 != 0).select(
+                F.col("doc_id").alias("id"), "text"
+            ),
+            text_col="text", id_col="id",
+            minhash_k=8, bands=4, shingle_n=3, max_bucket=1024,
+            min_tokens=5, min_alpha_ratio=0.5, min_stopword_ratio=0.0,
+            langs=("en",),
+            eval_docs=d.filter(F.col("doc_id") % 97 == 0).select("text"),
+        )
+
+    q["train_pipeline_decon"] = train_pipeline_decon
+
     # --- near-dup clustering: connected components over LSH pairs ------------
     def dedup_cluster_components(spark, sf):
         """MinHash-LSH candidate pairs → transitive near-dup clusters
@@ -1196,7 +1217,9 @@ SELECT doc_id, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang_pred FROM m"
     # survivors → [optional embedding near-dup losers] → quality/langid
     # gates, composed from the same CTE pieces the individual
     # dedup/text oracles use
-    def _train_pipeline_sql(embed: bool, neardup: str = "pairwise") -> str:
+    def _train_pipeline_sql(
+        embed: bool, neardup: str = "pairwise", decon: bool = False
+    ) -> str:
         # losers CTE: pairwise = docs paired with a smaller id;
         # components = every non-root member of a connected component
         # of the candidate-pair graph (recursive reachability, exact)
@@ -1229,11 +1252,27 @@ elosers AS (
   WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                CAST(b.embedding AS DOUBLE[])) >= 0.3),
 surv2 AS (SELECT * FROM surv WHERE id NOT IN (SELECT id FROM elosers))"""
-        gate_src = "surv2" if embed else "surv"
+        # decontamination: eval slice = doc_id % 97 == 0; the pipeline
+        # runs on the complement and drops survivors sharing any shingle
+        # with the eval set (mirrors eval_docs= in plans/pipeline.py)
+        sh_expr = md5_hash64_sql("array_to_string(t[i:i+2], ' ')")
+        shlist = (
+            "list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1), "
+            f"i -> {sh_expr}))"
+        )
+        decon_ctes = f""",
+dtok AS (SELECT id, {tokens_sql('text')} AS t FROM surv),
+dsh AS (SELECT id, unnest({shlist}) AS sh FROM dtok),
+etok AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents WHERE doc_id % 97 = 0),
+esh AS (SELECT DISTINCT unnest({shlist}) AS sh FROM etok),
+surv_d AS (SELECT * FROM surv
+           WHERE id NOT IN (SELECT DISTINCT id FROM dsh JOIN esh USING (sh)))"""
+        src_filter = "WHERE doc_id % 97 <> 0 " if decon else ""
+        gate_src = "surv_d" if decon else ("surv2" if embed else "surv")
         recursive = "RECURSIVE " if neardup == "components" else ""
         return f"""
 WITH {recursive}reps AS (
-  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents GROUP BY md5(text)
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents {src_filter}GROUP BY md5(text)
 ),
 {_SHINGLES_CTE.replace("FROM documents", "FROM reps")},
 sigs AS (SELECT doc_id AS id, {sig_exprs} FROM sh GROUP BY doc_id),
@@ -1244,7 +1283,7 @@ kept AS (SELECT banded.* FROM banded JOIN ok USING (band, bkey)),
 {losers_cte},
 surv AS (
   SELECT doc_id AS id, text FROM reps
-  WHERE doc_id NOT IN (SELECT id FROM losers)){emb_ctes if embed else ''},
+  WHERE doc_id NOT IN (SELECT id FROM losers)){emb_ctes if embed else ''}{decon_ctes if decon else ''},
 t AS (SELECT id, text, {tokens_sql('text')} AS toks FROM {gate_src}),
 g AS (
   SELECT id, text,
@@ -1264,6 +1303,7 @@ WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
     s["train_pipeline"] = _train_pipeline_sql(embed=False)
     s["train_pipeline_embed"] = _train_pipeline_sql(embed=True)
     s["train_pipeline_cc"] = _train_pipeline_sql(embed=False, neardup="components")
+    s["train_pipeline_decon"] = _train_pipeline_sql(embed=False, decon=True)
 
     # transitive near-dup clusters over the LSH candidate pairs: exact
     # recursive reachability wrapped around the pairs oracle above

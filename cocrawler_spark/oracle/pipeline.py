@@ -86,10 +86,13 @@ def train_pipeline_mirror(
     min_stopword_ratio: float = 0.0,
     langs: tuple[str, ...] = ("en",),
     neardup: str = "pairwise",
+    eval_texts: list[str] | None = None,
 ) -> set[str]:
     """docs: {id: text} → set of surviving ids. neardup='components'
     mirrors the transitive connected-components survivor rule
-    (union-find over the candidate pairs, keep each component's min)."""
+    (union-find over the candidate pairs, keep each component's min).
+    eval_texts mirrors the optional decontamination stage: survivors
+    sharing any shingle with the eval set are dropped."""
     # 1. exact collapse: min-id representative per byte-identical text
     by_text: dict[str, str] = {}
     for i in sorted(docs):
@@ -148,6 +151,17 @@ def train_pipeline_mirror(
             keep = min(members)
             losers.update(m for m in members if m != keep)
     survivors = {i: t for i, t in reps.items() if i not in losers}
+
+    # 2c. optional decontamination: any shingle shared with the eval set
+    if eval_texts is not None:
+        eval_sh: set[int] = set()
+        for t in eval_texts:
+            eval_sh.update(shingle_hashes(t, shingle_n))
+        survivors = {
+            i: t
+            for i, t in survivors.items()
+            if not (set(shingle_hashes(t, shingle_n)) & eval_sh)
+        }
 
     # 3+4. quality + language gates
     out: set[str] = set()

@@ -9,6 +9,8 @@ operators as ONE declarative plan:
       → page text                                 [corpus text join]
       → exact dedup collapse (min-id survivor per byte-identical text)
       → MinHash+LSH near-dup drop (min-id survivor per candidate pair)
+      → optional benchmark decontamination (drop docs sharing any
+        shingle with an eval set; broadcast semi-join)
       → quality gate (token count / alpha ratio / stopword ratio)
       → language gate (stopword-overlap langid)
       → train_docs table, committed through the snapshot catalog
@@ -70,6 +72,8 @@ def train_data_pipeline(
     emb_threshold: float = 0.3,
     emb_n_planes: int = 6,
     neardup: str = "pairwise",
+    eval_docs: Optional[DataFrame] = None,
+    eval_text_col: str = "text",
 ) -> DataFrame:
     """(id, text) → surviving train-ready docs with their gate columns.
 
@@ -118,6 +122,17 @@ def train_data_pipeline(
         )
         elosers = epairs.select(F.col("id_b").alias("id")).distinct()
         survivors = survivors.join(elosers, "id", "left_anti")
+
+    # 2c. optional benchmark decontamination: drop survivors sharing any
+    # shingle with the eval set (broadcast eval-shingle semi-join — the
+    # doc side never shuffles on content; operators/curation.py)
+    if eval_docs is not None:
+        from ..operators.curation import decontaminate
+
+        survivors = decontaminate(
+            survivors, eval_docs, text_col=text_col, id_col="id",
+            eval_text_col=eval_text_col, shingle_n=shingle_n, drop=True,
+        )
 
     # 3+4. quality + language gates: pure JVM expressions, one pass
     qc = quality_cols(F.col(text_col))

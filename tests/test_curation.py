@@ -145,3 +145,34 @@ def test_boilerplate_score(spark):
     frac = {r["id"]: r["boilerplate_frac"] for r in out}
     assert frac[1] == 1.0 and frac[5] == 1.0
     assert frac[4] == 0.0
+
+
+def test_pipeline_decontamination_stage_matches_mirror(spark):
+    """train_data_pipeline(eval_docs=...) must keep exactly the docs the
+    pure-Python mirror keeps with eval_texts — the decontamination stage
+    composed with exact/near-dup dedup and the gates."""
+    from cocrawler_spark.oracle.pipeline import train_pipeline_mirror
+    from cocrawler_spark.plans.pipeline import train_data_pipeline
+
+    rows = [(str(i), t) for i, t in DOCS] + [
+        ("6", "the cat sat on the mat and the dog sat too"),
+        ("7", "numbers 123 456 789 without much english glue"),
+    ]
+    docs = spark.createDataFrame(rows, "id string, text string")
+    ev = _docs_df(spark, EVAL).select(F.col("text"))
+    knobs = dict(
+        min_tokens=1, min_alpha_ratio=0.0, min_stopword_ratio=0.0,
+        langs=("en", "und"),
+    )
+    got = {
+        r["id"]
+        for r in train_data_pipeline(
+            docs, text_col="text", id_col="id", eval_docs=ev, **knobs
+        ).collect()
+    }
+    exp = train_pipeline_mirror(
+        {i: t for i, t in rows},
+        eval_texts=[t for _, t in EVAL],
+        **knobs,
+    )
+    assert got == exp and 0 < len(got) < len(rows)
