@@ -883,6 +883,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_boilerplate"] = text_boilerplate
 
+    def domain_quality(spark, sf):
+        """Per-domain quality prior: mean quality signals + doc count
+        per source — the domain-level rollup spam filters broadcast
+        back onto the doc table."""
+        from cocrawler_spark.operators.curation import domain_quality_prior
+
+        return domain_quality_prior(
+            _ts(spark, sf, "documents"), "source", text_col="text",
+            id_col="doc_id", min_docs=2,
+        )
+
+    q["domain_quality"] = domain_quality
+
     return q
 
 
@@ -1579,5 +1592,21 @@ SELECT s.doc_id, COUNT(*) AS n_shingles,
        ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / greatest(COUNT(*), 1), 6)
          AS boilerplate_frac
 FROM sh s JOIN dfreq USING (sh) GROUP BY s.doc_id"""
+
+    s["domain_quality"] = f"""
+WITH t AS (SELECT source AS domain, text, {tokens_sql('text')} AS toks FROM documents),
+p AS (
+  SELECT domain,
+    CAST(len(toks) AS BIGINT) AS nt,
+    ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+          / greatest(length(text), 1), 6) AS ar,
+    ROUND(len(list_filter(toks, x -> list_contains([{en_list}], x)))
+          / greatest(len(toks), 1), 6) AS sr
+  FROM t)
+SELECT domain, COUNT(*) AS n_docs,
+  ROUND(AVG(nt), 6) AS mean_tokens,
+  ROUND(AVG(ar), 6) AS mean_alpha_ratio,
+  ROUND(AVG(sr), 6) AS mean_stopword_ratio
+FROM p GROUP BY domain HAVING COUNT(*) >= 2"""
 
     return s

@@ -162,6 +162,42 @@ def token_budget_take(
     )
 
 
+def domain_quality_prior(
+    docs: DataFrame,
+    domain_col: str,
+    text_col: str = "text",
+    id_col: str = "id",
+    min_docs: int = 1,
+) -> DataFrame:
+    """Per-domain quality rollup: mean alpha/stopword ratios, mean
+    token count, and doc count per domain — the domain-level prior
+    spam/quality filters use (a low-quality domain taints all its
+    docs). Returns one row per domain with ≥ min_docs docs.
+
+    One partial-aggregated groupBy on the domain key; at 10^10 docs
+    this is the cheapest shuffle in the pipeline (output is
+    |domains|-sized and broadcastable back onto the doc table)."""
+    from ..functions.text import quality_cols
+
+    qc = quality_cols(F.col(text_col))
+    per_doc = docs.select(
+        F.col(domain_col).alias("domain"),
+        qc["n_tokens"].alias("_nt"),
+        qc["alpha_ratio"].alias("_ar"),
+        qc["stopword_ratio"].alias("_sr"),
+    )
+    return (
+        per_doc.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("_nt"), 6).alias("mean_tokens"),
+            F.round(F.avg("_ar"), 6).alias("mean_alpha_ratio"),
+            F.round(F.avg("_sr"), 6).alias("mean_stopword_ratio"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 def boilerplate_score(
     docs: DataFrame,
     text_col: str = "text",

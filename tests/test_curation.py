@@ -176,3 +176,25 @@ def test_pipeline_decontamination_stage_matches_mirror(spark):
         **knobs,
     )
     assert got == exp and 0 < len(got) < len(rows)
+
+
+def test_domain_quality_prior(spark):
+    from cocrawler_spark.operators.curation import domain_quality_prior
+
+    rows = [
+        (1, "a", "the quick brown fox and the dog"),
+        (2, "a", "xx 99 !!"),
+        (3, "b", "only one doc here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, dom string, text string")
+    out = {r["domain"]: r for r in domain_quality_prior(
+        df, "dom", text_col="text", id_col="id", min_docs=2
+    ).collect()}
+    assert set(out) == {"a"}  # 'b' has < 2 docs
+    a = out["a"]
+    assert a["n_docs"] == 2
+    # per-doc token counts 7 and 2 -> mean 4.5
+    assert abs(a["mean_tokens"] - 4.5) < 1e-9
+    # doc1 all-alpha ratio = 25/31 (spaces count in chars); doc2 = 2/8
+    exp = round((round(25 / 31, 6) + round(2 / 8, 6)) / 2, 6)
+    assert abs(a["mean_alpha_ratio"] - exp) < 1e-9
