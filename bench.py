@@ -50,6 +50,7 @@ HEADLINE = [
     "dns_resolve",
     "media_assets_meta",
     "session_windows",
+    "text_decontaminate",
 ]
 
 
