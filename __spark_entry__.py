@@ -645,6 +645,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pipeline_decon"] = train_pipeline_decon
 
+    def train_pipeline_incr(spark, sf):
+        """Stateful per-batch pipeline (first-seen wins across batches,
+        min-id within a batch): documents split into two deterministic
+        batches (doc_id parity); batch 1 dedupes against batch 0's
+        hash/bucket state without reprocessing batch 0."""
+        from cocrawler_spark.plans.pipeline import train_data_pipeline_incremental
+
+        d = _ts(spark, sf, "documents")
+        batches = [
+            d.filter(F.col("doc_id") % 2 == b).select(
+                F.col("doc_id").alias("id"), "text"
+            )
+            for b in (0, 1)
+        ]
+        return train_data_pipeline_incremental(
+            batches, text_col="text", id_col="id",
+            minhash_k=8, bands=4, shingle_n=3, max_bucket=1024,
+            min_tokens=5, min_alpha_ratio=0.5, min_stopword_ratio=0.0,
+            langs=("en",),
+        )
+
+    q["train_pipeline_incr"] = train_pipeline_incr
+
     # --- near-dup clustering: connected components over LSH pairs ------------
     def dedup_cluster_components(spark, sf):
         """MinHash-LSH candidate pairs → transitive near-dup clusters
@@ -1317,6 +1340,81 @@ WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
     s["train_pipeline_embed"] = _train_pipeline_sql(embed=True)
     s["train_pipeline_cc"] = _train_pipeline_sql(embed=False, neardup="components")
     s["train_pipeline_decon"] = _train_pipeline_sql(embed=False, decon=True)
+
+    def _incr_pipeline_sql() -> str:
+        """Two-batch unrolled twin of train_data_pipeline_incremental
+        (doc_id parity split): batch 0 is the plain pairwise pipeline on
+        its slice; batch 1 drops docs whose text hash or any LSH band
+        key is already in batch 0's state, then applies the batch-local
+        pairwise rule."""
+        sh_expr = md5_hash64_sql("array_to_string(t[i:i+2], ' ')")
+        shlist = (
+            "list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1), "
+            f"i -> {sh_expr}))"
+        )
+        sig_local = ", ".join(
+            "MIN("
+            + md5_hash64_sql(f"'{i}:' || CAST(sh AS VARCHAR)")
+            + f") AS sig_{i}"
+            for i in range(8)
+        )
+
+        def bands_of(sigs_cte: str) -> str:
+            return " UNION ALL ".join(
+                f"SELECT id, {b} AS band, "
+                f"md5(CAST(sig_{2 * b} AS VARCHAR) || ',' || CAST(sig_{2 * b + 1} AS VARCHAR)) AS bkey "
+                f"FROM {sigs_cte}"
+                for b in range(4)
+            )
+
+        def stage(x: str, src: str) -> str:
+            return f"""
+r{x} AS (SELECT MIN(id) AS id, MIN(text) AS text FROM {src} GROUP BY md5(text)),
+tok{x} AS (SELECT id, {tokens_sql('text')} AS t FROM r{x}),
+shl{x} AS (SELECT id, unnest({shlist}) AS sh FROM tok{x}),
+sig{x} AS (SELECT id, {sig_local} FROM shl{x} GROUP BY id),
+band{x} AS ({bands_of(f'sig{x}')})"""
+
+        return f"""
+WITH
+b0 AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0),
+{stage('0', 'b0')},
+bsz0 AS (SELECT band, bkey, COUNT(*) AS n, MIN(id) AS mn FROM band0 GROUP BY band, bkey),
+los0 AS (SELECT DISTINCT b.id FROM band0 b JOIN bsz0 z USING (band, bkey)
+         WHERE z.n > 1 AND z.n <= 1024 AND b.id <> z.mn),
+surv0 AS (SELECT id, text FROM r0 WHERE id NOT IN (SELECT id FROM los0)),
+h0 AS (SELECT DISTINCT md5(text) AS h FROM b0),
+b1 AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 1),
+f1 AS (SELECT * FROM b1 WHERE md5(text) NOT IN (SELECT h FROM h0)),
+{stage('1', 'f1')},
+hit1 AS (SELECT DISTINCT b.id FROM band1 b
+         JOIN (SELECT DISTINCT band, bkey FROM band0) s USING (band, bkey)),
+live1 AS (SELECT * FROM band1 WHERE id NOT IN (SELECT id FROM hit1)),
+bsz1 AS (SELECT band, bkey, COUNT(*) AS n, MIN(id) AS mn FROM live1 GROUP BY band, bkey),
+los1 AS (SELECT DISTINCT b.id FROM live1 b JOIN bsz1 z USING (band, bkey)
+         WHERE z.n > 1 AND z.n <= 1024 AND b.id <> z.mn),
+surv1 AS (SELECT id, text FROM r1
+          WHERE id NOT IN (SELECT id FROM hit1)
+            AND id NOT IN (SELECT id FROM los1)),
+u AS (SELECT id, text, 0 AS batch FROM surv0
+      UNION ALL SELECT id, text, 1 AS batch FROM surv1),
+tg AS (SELECT id, text, batch, {tokens_sql('text')} AS toks FROM u),
+g AS (
+  SELECT id, text, batch,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+          / greatest(length(text), 1), 6) AS alpha_ratio,
+    ROUND(len(list_filter(toks, x -> list_contains([{en_list}], x)))
+          / greatest(len(toks), 1), 6) AS stopword_ratio,
+    list_max([{_langid_structs()}]) AS mx
+  FROM tg)
+SELECT id, text, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang,
+       n_tokens, alpha_ratio, stopword_ratio, batch
+FROM g
+WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
+  AND (CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END) IN ('en')"""
+
+    s["train_pipeline_incr"] = _incr_pipeline_sql()
 
     # transitive near-dup clusters over the LSH candidate pairs: exact
     # recursive reachability wrapped around the pairs oracle above

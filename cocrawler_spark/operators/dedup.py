@@ -116,6 +116,35 @@ def minhash_signatures(
     return ex.groupBy("id").agg(*aggs)
 
 
+def band_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bkey): LSH band keys of every doc — the signature
+    aggregation runs ONCE and fans out via one band-struct array +
+    explode (a unioned/self-joined formulation would recompute it per
+    band per join side — 2·bands× the shuffle). Shared by
+    minhash_lsh_pairs and the incremental pipeline's bucket state."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bkey"),
+            )
+        )
+    return sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -138,28 +167,10 @@ def minhash_lsh_pairs(
       degenerate boilerplate families, not near-dup signal. NOT silent:
       pass ``log_fn`` (e.g. ``print``) to count and report dropped
       buckets (costs one extra aggregate action, so it is opt-in)."""
-    rows_per_band = k // bands
     if precollapse:
         df = _exact_representatives(df, text_col, id_col)
         id_col = "id"
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
-    # one band-struct array + explode ⇒ the signature aggregation runs
-    # ONCE (a unioned/self-joined formulation would recompute it per
-    # band per join side — 2·bands× the shuffle); pairing then happens
-    # inside each (band,bkey) bucket via collect_list, so the only
-    # wide ops are one groupBy(doc) and one groupBy(bucket).
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bkey"),
-            )
-        )
-    banded = sigs.select("id", F.explode(F.array(*band_structs)).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    )
+    banded = band_keys(df, text_col, id_col, k, bands, shingle_n)
     # bucket-size gate BEFORE collect_list: the window count shares the
     # (band,bkey) exchange with the groupBy that follows, so a mega
     # bucket is filtered row-wise and its ids array is never built.

@@ -175,3 +175,93 @@ def train_pipeline_mirror(
         ):
             out.add(i)
     return out
+
+
+def band_keys_mirror(text: str, k: int = 8, bands: int = 4, shingle_n: int = 3):
+    """(band, bkey) set of one doc — mirrors operators/dedup.band_keys."""
+    sig = minhash_sig(text, k, shingle_n)
+    if sig is None:
+        return set()
+    rows = k // bands
+    out = set()
+    for b in range(bands):
+        cols = sig[b * rows:(b + 1) * rows]
+        out.add((b, hashlib.md5(",".join(str(c) for c in cols).encode()).hexdigest()))
+    return out
+
+
+def incremental_pipeline_mirror(
+    batches: list[dict[str, str]],
+    minhash_k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = 1024,
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.0,
+    langs: tuple[str, ...] = ("en",),
+) -> list[set[str]]:
+    """Mirror of plans/pipeline.train_data_pipeline_incremental:
+    first-seen wins across batches, min-id within a batch. Returns the
+    surviving id set per batch."""
+    hashes: set[str] = set()
+    buckets: set[tuple[int, str]] = set()
+    out: list[set[str]] = []
+    for docs in batches:
+        # 1. exact: drop prior-batch dups, min-id rep per hash in batch
+        fresh = {
+            i: t
+            for i, t in docs.items()
+            if hashlib.md5(t.encode("utf-8")).hexdigest() not in hashes
+        }
+        by_h: dict[str, str] = {}
+        for i in sorted(fresh):
+            key = hashlib.md5(fresh[i].encode("utf-8")).hexdigest()
+            if key not in by_h or i < by_h[key]:
+                by_h[key] = i
+        reps = {i: fresh[i] for i in by_h.values()}
+        rep_bands = {
+            i: band_keys_mirror(t, minhash_k, bands, shingle_n)
+            for i, t in reps.items()
+        }
+        # 2. near-dup: state-occupied bucket drops; then batch-local
+        # pairwise min-id among the remaining reps
+        state_hit = {i for i, bs in rep_bands.items() if bs & buckets}
+        local: dict[tuple[int, str], list[str]] = {}
+        for i, bs in rep_bands.items():
+            if i in state_hit:
+                continue
+            for bk in bs:
+                local.setdefault(bk, []).append(i)
+        losers: set[str] = set()
+        for members in local.values():
+            if len(members) < 2:
+                continue
+            if max_bucket is not None and len(members) > max_bucket:
+                continue
+            keep = min(members)
+            losers.update(m for m in members if m != keep)
+        survivors = {
+            i: t
+            for i, t in reps.items()
+            if i not in state_hit and i not in losers
+        }
+        # 3. gates
+        kept: set[str] = set()
+        for i, t in survivors.items():
+            q = quality(t)
+            if (
+                q["n_tokens"] >= min_tokens
+                and q["alpha_ratio"] >= min_alpha_ratio
+                and q["stopword_ratio"] >= min_stopword_ratio
+                and langid(t) in langs
+            ):
+                kept.add(i)
+        out.append(kept)
+        # 4. state absorbs the whole batch
+        hashes.update(
+            hashlib.md5(t.encode("utf-8")).hexdigest() for t in docs.values()
+        )
+        for bs in rep_bands.values():
+            buckets.update(bs)
+    return out

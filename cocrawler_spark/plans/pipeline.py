@@ -46,7 +46,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import langid_col, quality_cols
@@ -152,6 +152,125 @@ def train_data_pipeline(
     return gated
 
 
+def train_data_pipeline_incremental(
+    batches: list[DataFrame],
+    text_col: str = "text",
+    id_col: str = "id",
+    minhash_k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: Optional[int] = 1024,
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.0,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """Stateful per-batch variant of train_data_pipeline — the shape a
+    continuously-crawling pipeline runs: each wave's new docs are
+    deduped against ALL prior waves without reprocessing them.
+
+    State between batches (both id-free, hash-keyed — bounded by
+    distinct content, not by doc count):
+    - ``hashes``: md5(text) of every doc seen so far (exact-dup set)
+    - ``buckets``: LSH (band, bkey) of every first-occurrence exact
+      representative so far (near-dup candidate sets)
+
+    Per batch: (1) docs whose text hash is in state are dropped, the
+    rest collapse to min-id reps per hash; (2) reps landing in an
+    occupied state bucket are dropped (near-dup of a prior-wave doc);
+    remaining reps apply the batch-local pairwise min-id rule (bucket
+    cap ``max_bucket``, like the batch pipeline); (3) the quality +
+    langid gates run on survivors. State then absorbs the batch: all
+    its distinct text hashes, and the band keys of all its reps (reps
+    that later failed a gate or the pairwise rule still contaminate
+    buckets, exactly as in the batch pipeline).
+
+    Semantics vs the batch pipeline: first-seen wins across batches
+    (a later, smaller-id near-dup does NOT retroactively evict an
+    earlier survivor); within a batch, min-id wins. A single-batch
+    call is exactly train_data_pipeline(neardup='pairwise') — pinned
+    by test. Output adds a ``batch`` index column.
+
+    Scale shape per batch: the same hash-shuffle chain as the batch
+    pipeline plus two equi-joins against the state tables (hash and
+    bucket keys — uniform by construction). State DataFrames are
+    localCheckpointed per batch (lineage truncation, clustering.py
+    pattern); a production run would stage them through the snapshot
+    catalog instead (same shape, reliable storage)."""
+    from ..operators.dedup import band_keys
+
+    spark = batches[0].sparkSession
+    hashes = spark.createDataFrame([], "h string")
+    buckets = spark.createDataFrame([], "band int, bkey string")
+    outs: list[DataFrame] = []
+    old_state: list[DataFrame] = []
+    for bi, raw in enumerate(batches):
+        docs = raw.select(
+            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        )
+        hashed = docs.withColumn("_h", F.md5("text"))
+        fresh = hashed.join(hashes, hashed["_h"] == hashes["h"], "left_anti")
+        reps = (
+            fresh.groupBy("_h")
+            .agg(F.min(F.struct("id", "text")).alias("m"))
+            .select(F.col("m.id").alias("id"), F.col("m.text").alias("text"))
+        )
+        banded = band_keys(reps, "text", "id", minhash_k, bands, shingle_n)
+        # near-dup of any prior batch: any band key already occupied
+        state_hit = (
+            banded.join(buckets, ["band", "bkey"], "left_semi")
+            .select("id")
+            .distinct()
+        )
+        live = banded.join(state_hit, "id", "left_anti")
+        # batch-local pairwise min-id rule (shares the shape of
+        # minhash_lsh_pairs' bucket gate: window count, capped buckets)
+        wb = Window.partitionBy("band", "bkey")
+        sized = live.withColumn("_bn", F.count("*").over(wb)).withColumn(
+            "_mn", F.min("id").over(wb)
+        )
+        keep = (F.col("_bn") > 1) & (F.col("id") != F.col("_mn"))
+        if max_bucket is not None:
+            keep = keep & (F.col("_bn") <= max_bucket)
+        local_losers = sized.filter(keep).select("id").distinct()
+        survivors = (
+            reps.join(state_hit, "id", "left_anti")
+            .join(local_losers, "id", "left_anti")
+        )
+        qc = quality_cols(F.col("text"))
+        gated = survivors.select(
+            "id",
+            "text",
+            langid_col(F.col("text")).alias("lang"),
+            qc["n_tokens"].alias("n_tokens"),
+            qc["alpha_ratio"].alias("alpha_ratio"),
+            qc["stopword_ratio"].alias("stopword_ratio"),
+        ).filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("alpha_ratio") >= min_alpha_ratio)
+            & (F.col("stopword_ratio") >= min_stopword_ratio)
+            & (F.col("lang").isin(*langs))
+        )
+        outs.append(gated.withColumn("batch", F.lit(bi)))
+        # absorb the batch into state; checkpoint to truncate the
+        # per-batch self-referencing lineage, then free the previous
+        # batch's checkpoint blocks
+        new_hashes = hashes.union(
+            hashed.select(F.col("_h").alias("h")).distinct()
+        ).distinct().localCheckpoint(eager=True)
+        new_buckets = buckets.union(
+            banded.select("band", "bkey").distinct()
+        ).distinct().localCheckpoint(eager=True)
+        for df in old_state:
+            df.unpersist()
+        old_state = [new_hashes, new_buckets]
+        hashes, buckets = new_hashes, new_buckets
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def run_training_pipeline(engine, wave: Optional[int] = None, **knobs) -> DataFrame:
     """Run the pipeline over a finished crawl's committed outputs and
     commit the result as the `train_docs` table.
@@ -175,6 +294,41 @@ def run_training_pipeline(engine, wave: Optional[int] = None, **knobs) -> DataFr
     )
     out = train_data_pipeline(docs, text_col="text", id_col="id", **knobs)
     w = wave if wave is not None else int(engine.catalog.latest_manifest()["wave"])
+    engine.catalog.stage("train_docs", out, w, mode="full")
+    engine.catalog.commit(w, base=engine.catalog.latest_manifest())
+    return engine.output("train_docs")
+
+
+def run_training_pipeline_incremental(engine, **knobs) -> DataFrame:
+    """Per-wave incremental variant of run_training_pipeline: each
+    crawl wave's status-200 pages form one batch, deduped against all
+    prior waves through the hash/bucket state — no reprocessing of
+    earlier waves' docs. Commits `train_docs` (with a `batch` column =
+    the wave index position) through the snapshot catalog."""
+    from ..functions.parse import text_of_col
+
+    fetched = engine.output("fetched_content")
+    if fetched is None:
+        raise ValueError("no fetched_content output — run the crawl first")
+    waves = sorted(
+        r["wave"]
+        for r in fetched.select("wave").distinct().collect()
+    )
+    batches = []
+    for w in waves:
+        ok = fetched.filter(
+            (F.col("status") == 200) & (F.col("wave") == w)
+        ).select(F.col("url"))
+        batches.append(
+            engine.documents.join(
+                ok, engine.documents["doc_id"] == ok["url"], "left_semi"
+            ).select(
+                F.col("doc_id").alias("id"),
+                text_of_col(F.col("spans")).alias("text"),
+            )
+        )
+    out = train_data_pipeline_incremental(batches, **knobs)
+    w = int(engine.catalog.latest_manifest()["wave"])
     engine.catalog.stage("train_docs", out, w, mode="full")
     engine.catalog.commit(w, base=engine.catalog.latest_manifest())
     return engine.output("train_docs")
