@@ -890,6 +890,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mix_token_budget"] = mix_token_budget
 
+    def mix_token_budget_sharded(spark, sf):
+        """Mega-stratum scale path of the token-budget mix: the per-
+        source budget splits across 4 md5(id)-hash sub-buckets, window
+        partitioned by (source, bucket) — H-way parallel sorts, exact
+        per-shard budgets."""
+        from cocrawler_spark.operators.curation import token_budget_take
+
+        d = _ts(spark, sf, "documents")
+        out = token_budget_take(
+            d, "source", 1500, text_col="text", id_col="doc_id",
+            n_subbuckets=4,
+        )
+        return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+    q["mix_token_budget_sharded"] = mix_token_budget_sharded
+
     def text_boilerplate(spark, sf):
         """CCNet-style corpus-level boilerplate score: fraction of each
         doc's distinct shingles whose corpus document frequency ≥ 2."""
@@ -1681,6 +1697,20 @@ c AS (SELECT doc_id, source, n_tokens,
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
       FROM t)
 SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 1500"""
+
+    # sharded variant: budget 1500 over 4 hash sub-buckets = 375 each.
+    # (sample_hash_sql's mod-10^6 bucket composes with % 4 exactly
+    # because 4 | 10^6, so this equals pmod(md5h, 4) on the Spark side)
+    s["mix_token_budget_sharded"] = f"""
+WITH t AS (SELECT doc_id, source,
+                  CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens,
+                  ({sample_hash_sql('doc_id')}) % 4 AS bucket
+           FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY source, bucket
+                  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 375"""
 
     s["text_boilerplate"] = f"""
 WITH {_SHINGLES_CTE},

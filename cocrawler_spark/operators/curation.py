@@ -141,6 +141,7 @@ def token_budget_take(
     budget_tokens: int,
     text_col: str = "text",
     id_col: str = "id",
+    n_subbuckets: Optional[int] = None,
 ) -> DataFrame:
     """Per stratum, keep docs in ascending-id order while the running
     token total (including the current doc) stays ≤ budget_tokens.
@@ -148,17 +149,42 @@ def token_budget_take(
     Docs past the budget are dropped even if a later smaller doc would
     still fit — the deterministic "fill in priority order" rule, not
     bin packing. Adds (n_tokens, cum_tokens) columns. One hash shuffle
-    on the stratum + a per-stratum sorted window; see the module
-    docstring for the mega-stratum caveat."""
+    on the stratum + a per-stratum sorted window.
+
+    ``n_subbuckets`` is the mega-stratum scale path: the stratum's
+    budget splits evenly across H = n_subbuckets deterministic
+    md5(id)-hash sub-buckets (low buckets absorb the remainder), and
+    the window partitions by (stratum, sub-bucket) — H-way parallel
+    sorts instead of one task holding the whole stratum. The selection
+    is still exact-budgeted PER SUB-BUCKET and deterministic, but
+    approximates the unsharded pick: total kept ≤ budget always; a
+    sub-bucket's leftover tokens are not reassigned to others (the
+    same first-fill rule, applied per shard). cum_tokens is then the
+    running total within the doc's sub-bucket."""
+    out = docs.withColumn(
+        "n_tokens", token_count_col(F.col(text_col)).cast("long")
+    )
+    if n_subbuckets is None:
+        w = (
+            Window.partitionBy(stratum_col)
+            .orderBy(F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return out.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+            F.col("cum_tokens") <= budget_tokens
+        )
+    h = n_subbuckets
+    bucket = F.pmod(md5_hash64_col(F.col(id_col).cast("string")), F.lit(h))
+    per = budget_tokens // h
+    rem = budget_tokens % h
+    sub_budget = F.when(bucket < rem, F.lit(per + 1)).otherwise(F.lit(per))
     w = (
-        Window.partitionBy(stratum_col)
+        Window.partitionBy(stratum_col, bucket)
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        docs.withColumn("n_tokens", token_count_col(F.col(text_col)).cast("long"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= budget_tokens)
+    return out.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= sub_budget
     )
 
 

@@ -198,3 +198,36 @@ def test_domain_quality_prior(spark):
     # doc1 all-alpha ratio = 25/31 (spaces count in chars); doc2 = 2/8
     exp = round((round(25 / 31, 6) + round(2 / 8, 6)) / 2, 6)
     assert abs(a["mean_alpha_ratio"] - exp) < 1e-9
+
+
+def test_token_budget_take_sharded(spark):
+    """Sub-bucketed budget: exact per-shard fill, deterministic via the
+    id hash; total kept never exceeds the stratum budget."""
+    from cocrawler_spark.operators.curation import (
+        SAMPLE_DENOM,  # noqa: F401  (same hash family)
+        token_budget_take,
+    )
+
+    rows = [(i, "s", " ".join(["tok"] * (1 + i % 5))) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+    h, budget = 4, 40
+    out = token_budget_take(
+        df, "src", budget, text_col="text", id_col="id", n_subbuckets=h
+    ).collect()
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % h
+
+    per, rem = budget // h, budget % h
+    exp = {}
+    cum = {}
+    for i, _, t in rows:  # ascending id order
+        b = bucket(i)
+        nt = len(t.split())
+        cum[b] = cum.get(b, 0) + nt
+        if cum[b] <= per + (1 if b < rem else 0):
+            exp[i] = cum[b]
+    assert {r["id"]: r["cum_tokens"] for r in out} == exp
+    assert sum(r["n_tokens"] for r in out) <= budget
+    # sharded across >1 sub-bucket (the parallelism actually engaged)
+    assert len({bucket(r["id"]) for r in out}) > 1
