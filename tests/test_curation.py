@@ -231,3 +231,35 @@ def test_token_budget_take_sharded(spark):
     assert sum(r["n_tokens"] for r in out) <= budget
     # sharded across >1 sub-bucket (the parallelism actually engaged)
     assert len({bucket(r["id"]) for r in out}) > 1
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    """Scale property: the eval shingle set is broadcast — the doc side
+    joins it without a sort-merge/cartesian, so a 100 TB doc table
+    never shuffles on shingle content."""
+    plan = (
+        __import__("cocrawler_spark.operators.curation", fromlist=["decontaminate"])
+        .decontaminate(_docs_df(spark, DOCS), _docs_df(spark, EVAL), "text", "id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the id-keyed join attaching flags back onto docs may legitimately
+    # sort-merge at scale; the pinned property is that the CONTENT join
+    # (shingle vs eval shingle) is the broadcast one — no shuffle ever
+    # carries doc shingle text
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_plan_is_map_only(spark):
+    """Scale property: sampling is a pure filter — zero exchanges, no
+    aggregation, nothing wide in the plan."""
+    from cocrawler_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame([(i, "en") for i in range(100)], "id long, lang string")
+    plan = (
+        stratified_sample(df, "lang", {"en": 0.5}, id_col="id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Aggregate" not in plan
