@@ -1,0 +1,134 @@
+"""Streaming training-data curation (SURVEY.md §2i × the LLM-pipeline
+extensions): the batch curation operators re-expressed over Structured
+Streaming, so a continuously-arriving crawl can be gated and deduped
+without wave-batch replays.
+
+Two pieces, mirroring how the batch side splits:
+
+- ``curation_stream``: the STATELESS stages — quality scoring, langid,
+  and deterministic stratified sampling are pure per-row column
+  expressions (functions/text.py, operators/curation.py), so they lift
+  onto a stream unchanged; semantics are identical to the batch
+  operators by construction (same Column objects). No watermark needed.
+
+- ``exact_dedup_stream``: the STATEFUL stage — first-seen-wins exact
+  dedup across micro-batches via ``applyInPandasWithState``, keyed by a
+  2-hex-char md5 prefix (256 hash-uniform state shards; each shard's
+  state is its seen-hash set, the streaming analog of the incremental
+  pipeline's ``hashes`` table, plans/pipeline.py). Within a micro-batch
+  the min-id occurrence wins (same rule as the batch pipeline); across
+  batches first-seen wins (same rule as the incremental pipeline).
+
+Scale notes: the dedup state is sharded by content hash — uniform by
+construction, no hot keys; state size is O(distinct texts) spread over
+the shards, and a production run would enable RocksDB state store +
+state TTL for bounded retention. The stateless stages add zero state
+and zero shuffles beyond the groupBy the dedup stage already needs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Mapping, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions.text import langid_col, quality_cols
+
+_SEP = "\x1f"
+
+DEDUP_OUTPUT_SCHEMA = StructType(
+    [StructField("id", StringType()), StructField("text", StringType())]
+)
+DEDUP_STATE_SCHEMA = StructType([StructField("seen_blob", StringType())])
+
+
+def curation_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    min_tokens: int = 5,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.0,
+    langs: tuple[str, ...] = ("en",),
+    stratum_col: Optional[str] = None,
+    rates: Optional[Mapping[str, float]] = None,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Quality + langid gates (and optional deterministic stratified
+    sampling when ``stratum_col``/``rates`` are given) over a streaming
+    DataFrame — the same Column expressions as the batch operators, so
+    a row passes the stream iff it passes the batch plan."""
+    if stratum_col is not None and rates is not None:
+        from ..operators.curation import stratified_sample
+
+        stream = stratified_sample(
+            stream, stratum_col, rates, id_col=id_col,
+            default_rate=default_rate,
+        )
+    qc = quality_cols(F.col(text_col))
+    return stream.withColumns(
+        {
+            "lang": langid_col(F.col(text_col)),
+            "n_tokens": qc["n_tokens"],
+            "alpha_ratio": qc["alpha_ratio"],
+            "stopword_ratio": qc["stopword_ratio"],
+        }
+    ).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("lang").isin(*langs))
+    )
+
+
+def _dedup_state_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        (blob,) = state.get
+        seen = set(blob.split(_SEP)) if blob else set()
+    else:
+        seen = set()
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        # min-id occurrence wins within the micro-batch (the batch
+        # pipeline's rule); first-seen wins across batches
+        pdf = pdf.sort_values("id", kind="mergesort")
+        keep_rows = []
+        for _, row in pdf.iterrows():
+            h = row["_h"]
+            if h in seen:
+                continue
+            seen.add(h)
+            keep_rows.append((row["id"], row["text"]))
+        if keep_rows:
+            yield pd.DataFrame(keep_rows, columns=["id", "text"])
+    state.update((_SEP.join(sorted(seen)),))
+
+
+def exact_dedup_stream(
+    stream: DataFrame, text_col: str = "text", id_col: str = "id"
+) -> DataFrame:
+    """First-seen-wins exact dedup across micro-batches: one stateful
+    shuffle keyed by a 2-hex md5 prefix (256 uniform shards), each
+    shard holding its seen-hash set as group state."""
+    prepared = stream.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(text_col).alias("_h"),
+        F.substring(F.md5(text_col), 1, 2).alias("_k"),
+    )
+    return prepared.groupBy("_k").applyInPandasWithState(
+        _dedup_state_fn,
+        outputStructType=DEDUP_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
