@@ -197,19 +197,61 @@ def train_data_pipeline_incremental(
     localCheckpointed per batch (lineage truncation, clustering.py
     pattern); a production run would stage them through the snapshot
     catalog instead (same shape, reliable storage)."""
-    from ..operators.dedup import band_keys
-
     spark = batches[0].sparkSession
-    hashes = spark.createDataFrame([], "h string")
-    buckets = spark.createDataFrame([], "band int, bkey string")
-    outs: list[DataFrame] = []
-    old_state: list[DataFrame] = []
-    for bi, raw in enumerate(batches):
+    state = IncrementalPipelineState(spark)
+    outs = [
+        state.step(
+            raw, text_col=text_col, id_col=id_col, minhash_k=minhash_k,
+            bands=bands, shingle_n=shingle_n, max_bucket=max_bucket,
+            min_tokens=min_tokens, min_alpha_ratio=min_alpha_ratio,
+            min_stopword_ratio=min_stopword_ratio, langs=langs,
+        ).withColumn("batch", F.lit(bi))
+        for bi, raw in enumerate(batches)
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+class IncrementalPipelineState:
+    """Driver-held dedup state for the incremental pipeline: the
+    seen-text-hash set and the occupied-LSH-bucket set, as DataFrames
+    localCheckpointed after every step (lineage truncation; prior
+    checkpoint blocks freed eagerly). One instance = one logical
+    pipeline; ``step`` consumes one batch and returns its gated
+    survivors. Reused verbatim by the batch-list driver above and the
+    Structured Streaming foreachBatch sink (streaming/curation.py)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.hashes = spark.createDataFrame([], "h string")
+        self.buckets = spark.createDataFrame([], "band int, bkey string")
+        self._old: list[DataFrame] = []
+
+    def step(
+        self,
+        raw: DataFrame,
+        text_col: str = "text",
+        id_col: str = "id",
+        minhash_k: int = 8,
+        bands: int = 4,
+        shingle_n: int = 3,
+        max_bucket: Optional[int] = 1024,
+        min_tokens: int = 5,
+        min_alpha_ratio: float = 0.5,
+        min_stopword_ratio: float = 0.0,
+        langs: tuple[str, ...] = ("en",),
+    ) -> DataFrame:
+        from ..operators.dedup import band_keys
+
         docs = raw.select(
             F.col(id_col).alias("id"), F.col(text_col).alias("text")
         )
         hashed = docs.withColumn("_h", F.md5("text"))
-        fresh = hashed.join(hashes, hashed["_h"] == hashes["h"], "left_anti")
+        fresh = hashed.join(
+            self.hashes, hashed["_h"] == self.hashes["h"], "left_anti"
+        )
         reps = (
             fresh.groupBy("_h")
             .agg(F.min(F.struct("id", "text")).alias("m"))
@@ -218,7 +260,7 @@ def train_data_pipeline_incremental(
         banded = band_keys(reps, "text", "id", minhash_k, bands, shingle_n)
         # near-dup of any prior batch: any band key already occupied
         state_hit = (
-            banded.join(buckets, ["band", "bkey"], "left_semi")
+            banded.join(self.buckets, ["band", "bkey"], "left_semi")
             .select("id")
             .distinct()
         )
@@ -251,24 +293,23 @@ def train_data_pipeline_incremental(
             & (F.col("stopword_ratio") >= min_stopword_ratio)
             & (F.col("lang").isin(*langs))
         )
-        outs.append(gated.withColumn("batch", F.lit(bi)))
-        # absorb the batch into state; checkpoint to truncate the
-        # per-batch self-referencing lineage, then free the previous
-        # batch's checkpoint blocks
-        new_hashes = hashes.union(
+        # materialize the batch's survivors BEFORE retiring the state
+        # they were computed against (a lazy return would reference
+        # prior-state checkpoint blocks after their unpersist — a
+        # recompute-impossible lineage once truncated); then absorb the
+        # batch into state and free the previous state's blocks
+        gated = gated.localCheckpoint(eager=True)
+        new_hashes = self.hashes.union(
             hashed.select(F.col("_h").alias("h")).distinct()
         ).distinct().localCheckpoint(eager=True)
-        new_buckets = buckets.union(
+        new_buckets = self.buckets.union(
             banded.select("band", "bkey").distinct()
         ).distinct().localCheckpoint(eager=True)
-        for df in old_state:
+        for df in self._old:
             df.unpersist()
-        old_state = [new_hashes, new_buckets]
-        hashes, buckets = new_hashes, new_buckets
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+        self._old = [new_hashes, new_buckets]
+        self.hashes, self.buckets = new_hashes, new_buckets
+        return gated
 
 
 def run_training_pipeline(engine, wave: Optional[int] = None, **knobs) -> DataFrame:

@@ -132,3 +132,46 @@ def exact_dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_pipeline_sink(
+    stream: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "id",
+    **knobs,
+):
+    """The FULL incremental training pipeline (exact dedup → LSH
+    near-dup vs all history → quality/langid gates) as a Structured
+    Streaming sink: every micro-batch runs one
+    IncrementalPipelineState.step (plans/pipeline.py — the same
+    equality-tested code path as the batch driver), appending
+    survivors to a parquet dir partitioned by micro-batch id.
+
+    foreachBatch is the idiomatic Spark seam for stateful logic whose
+    state is itself a DataFrame (the seen-hash and occupied-bucket
+    tables): inside the hook each micro-batch is a plain batch
+    DataFrame, so the exact batch plan runs unchanged and its state
+    survives on the driver between triggers. Exactly-once caveat: a
+    restart replays the in-flight micro-batch against reset state
+    (foreachBatch is at-least-once); a production run would persist
+    the two state tables through the snapshot catalog at each step —
+    the same commit/rollback machinery the crawl engine uses — making
+    replays idempotent.
+
+    Returns the DataStreamWriter (configure trigger/checkpoint and
+    call .start() at the call site)."""
+    from ..plans.pipeline import IncrementalPipelineState
+
+    spark = stream.sparkSession
+    state = IncrementalPipelineState(spark)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        gated = state.step(batch_df, text_col=text_col, id_col=id_col, **knobs)
+        (
+            gated.withColumn("batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return stream.writeStream.foreachBatch(_process)

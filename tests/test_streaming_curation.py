@@ -106,3 +106,42 @@ def test_exact_dedup_stream_state_across_batches(spark, tmp_path):
         assert got2 == {"d0", "d2", "d3", "d6"}
     finally:
         q.stop()
+
+
+def test_incremental_pipeline_sink_matches_mirror(spark, tmp_path):
+    """Full incremental pipeline as a streaming sink: two micro-batches
+    through foreachBatch must keep exactly what the pure-Python
+    incremental mirror keeps on the same batch split."""
+    from cocrawler_spark.oracle.pipeline import incremental_pipeline_mirror
+    from cocrawler_spark.streaming.curation import incremental_pipeline_sink
+    from tests.test_pipeline_incremental import B0, B1, KNOBS
+
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(src, exist_ok=True)
+    stream = (
+        spark.readStream.schema("id string, text string")
+        .option("maxFilesPerTrigger", "100")
+        .parquet(src + "/*")
+    )
+    q = (
+        incremental_pipeline_sink(stream, out_dir, **KNOBS)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        spark.createDataFrame(B0, "id string, text string").write.parquet(src + "/b0")
+        q.processAllAvailable()
+        spark.createDataFrame(B1, "id string, text string").write.parquet(src + "/b1")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got: dict[int, set] = {}
+    for r in spark.read.parquet(out_dir).collect():
+        got.setdefault(r["batch"], set()).add(r["id"])
+    exp = incremental_pipeline_mirror([dict(B0), dict(B1)], **KNOBS)
+    batches = sorted(got)
+    assert len(batches) == 2
+    assert [got[b] for b in batches] == exp
+    assert exp[0] and exp[1]
