@@ -685,6 +685,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_cluster_components"] = dedup_cluster_components
 
+    def dedup_cluster_sizes(spark, sf):
+        """Near-dup family statistics: distribution of connected-
+        component sizes over the LSH pair graph — the corpus-health
+        rollup a dedup run reports (how much mass sits in big
+        boilerplate families vs pairs)."""
+        from cocrawler_spark.operators.clustering import connected_components
+
+        pairs = minhash_lsh_pairs(
+            _ts(spark, sf, "documents"), "text", "doc_id", k=8, bands=4,
+            precollapse=True, max_bucket=1024,
+        )
+        comps = connected_components(pairs, "id_a", "id_b")
+        return (
+            comps.groupBy("component")
+            .agg(F.count("*").alias("size"))
+            .groupBy("size")
+            .agg(F.count("*").alias("n_clusters"))
+        )
+
+    q["dedup_cluster_sizes"] = dedup_cluster_sizes
+
     # --- text analysis: repetition signals + PII scrub ------------------------
     def text_repetition(spark, sf):
         """Gopher-style duplicate n-gram fractions (n=1,2,3) per doc —
@@ -1437,6 +1458,10 @@ WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
     from cocrawler_spark.operators.clustering import cc_oracle_sql
 
     s["dedup_cluster_components"] = cc_oracle_sql(s["dedup_minhash_lsh_pairs"])
+    s["dedup_cluster_sizes"] = f"""
+WITH comps AS ({s['dedup_cluster_components']}),
+sz AS (SELECT component, COUNT(*) AS size FROM comps GROUP BY component)
+SELECT size, COUNT(*) AS n_clusters FROM sz GROUP BY size"""
 
     from cocrawler_spark.functions.text import pii_sql, repetition_sql
 
