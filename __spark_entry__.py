@@ -943,6 +943,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_boilerplate"] = text_boilerplate
 
+    def text_unigram_logprob(spark, sf):
+        """Perplexity-proxy quality signal: mean negative log-prob of a
+        doc's tokens under the corpus's own unigram distribution
+        (rare-token-heavy docs score high)."""
+        from cocrawler_spark.operators.curation import unigram_logprob_score
+
+        return unigram_logprob_score(
+            _ts(spark, sf, "documents"), text_col="text", id_col="doc_id"
+        ).select(
+            F.col("id").alias("doc_id"), "n_tokens", "avg_neg_logprob"
+        )
+
+    q["text_unigram_logprob"] = text_unigram_logprob
+
     def domain_quality(spark, sf):
         """Per-domain quality prior: mean quality signals + doc count
         per source — the domain-level rollup spam filters broadcast
@@ -1745,6 +1759,15 @@ SELECT s.doc_id, COUNT(*) AS n_shingles,
        ROUND(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / greatest(COUNT(*), 1), 6)
          AS boilerplate_frac
 FROM sh s JOIN dfreq USING (sh) GROUP BY s.doc_id"""
+
+    s["text_unigram_logprob"] = f"""
+WITH tokx AS (SELECT doc_id, unnest({tokens_sql('text')}) AS tk FROM documents),
+cnts AS (SELECT tk, COUNT(*) AS c FROM tokx GROUP BY tk),
+tot AS (SELECT SUM(c) AS t FROM cnts)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(ln((SELECT t FROM tot)) - AVG(ln(c)), 6) AS avg_neg_logprob
+FROM tokx JOIN cnts USING (tk)
+GROUP BY doc_id"""
 
     s["domain_quality"] = f"""
 WITH t AS (SELECT source AS domain, text, {tokens_sql('text')} AS toks FROM documents),

@@ -43,7 +43,7 @@ from typing import Mapping, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_hash64_col, token_count_col
+from ..functions.text import md5_hash64_col, token_count_col, tokens_col
 from .dedup import shingle_hashes_col
 
 SAMPLE_DENOM = 1_000_000
@@ -255,5 +255,46 @@ def boilerplate_score(
                 / F.greatest(F.count("*"), F.lit(1)),
                 6,
             ).alias("boilerplate_frac"),
+        )
+    )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, n_tokens, avg_neg_logprob): mean negative log-probability of
+    a doc's tokens under the corpus's own unigram distribution — the
+    perplexity-proxy quality signal (CCNet, Wenzek et al. 2020, filters
+    on LM perplexity; a unigram model is its SQL-twinnable core). High
+    scores mean rare-token-heavy docs (gibberish, codes); low scores
+    mean stopword soup. No smoothing needed: every scored token is in
+    the vocabulary by construction (the model is fit on the same
+    corpus).
+
+    avg_neg_logprob = ln(total_tokens) - mean_t ln(count(t)), computed
+    from integer counts so both engines take ln of exact values.
+
+    Plan: one token explode + one groupBy(token) for counts, the
+    total as a broadcast one-row cross join, one equi-join back, one
+    groupBy(id). Token keys are Zipf-ish but counts are pre-aggregated
+    (join side is |vocab|-sized), so the rejoin skew is bounded by the
+    doc-side explode, same as every shingle op here."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tk"),
+    )
+    counts = tok.groupBy("tk").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("_total"))
+    return (
+        tok.join(F.broadcast(counts), "tk")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.first(F.log("_total")) - F.avg(F.log("c")), 6
+            ).alias("avg_neg_logprob"),
         )
     )

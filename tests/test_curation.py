@@ -263,3 +263,24 @@ def test_stratified_sample_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_unigram_logprob_score(spark):
+    import math
+
+    from cocrawler_spark.operators.curation import unigram_logprob_score
+
+    rows = [
+        (1, "the the the rare"),
+        (2, "the the"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in unigram_logprob_score(df, "text", "id").collect()}
+    # corpus: the x5, rare x1, total 6
+    total = 6.0
+    exp1 = round(math.log(total) - (3 * math.log(5) + math.log(1)) / 4, 6)
+    exp2 = round(math.log(total) - math.log(5), 6)
+    assert out[1]["n_tokens"] == 4 and abs(out[1]["avg_neg_logprob"] - exp1) < 1e-6
+    assert out[2]["n_tokens"] == 2 and abs(out[2]["avg_neg_logprob"] - exp2) < 1e-6
+    # the rare-token doc scores strictly higher (worse) than stopword soup
+    assert out[1]["avg_neg_logprob"] > out[2]["avg_neg_logprob"]
