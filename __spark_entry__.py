@@ -957,6 +957,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_unigram_logprob"] = text_unigram_logprob
 
+    def text_tfidf_topk(spark, sf):
+        """Keyword extraction: each doc's top-3 tokens by tf·idf
+        (idf = ln(N/df)); deterministic ties by (score desc, term)."""
+        from cocrawler_spark.operators.curation import tfidf_top_terms
+
+        return tfidf_top_terms(
+            _ts(spark, sf, "documents"), text_col="text", id_col="doc_id", k=3
+        ).select(
+            F.col("id").alias("doc_id"), "term", "rank", "score"
+        )
+
+    q["text_tfidf_topk"] = text_tfidf_topk
+
     def domain_quality(spark, sf):
         """Per-domain quality prior: mean quality signals + doc count
         per source — the domain-level rollup spam filters broadcast
@@ -1768,6 +1781,21 @@ SELECT doc_id, COUNT(*) AS n_tokens,
        ROUND(ln((SELECT t FROM tot)) - AVG(ln(c)), 6) AS avg_neg_logprob
 FROM tokx JOIN cnts USING (tk)
 GROUP BY doc_id"""
+
+    s["text_tfidf_topk"] = f"""
+WITH tokx AS (SELECT doc_id, unnest({tokens_sql('text')}) AS tk FROM documents),
+tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tokx GROUP BY doc_id, tk),
+dfq AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY tk),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+sc AS (SELECT doc_id, tk, tf * ln((SELECT n FROM nd) / df) AS score
+       FROM tf JOIN dfq USING (tk)),
+rk AS (SELECT doc_id, tk, score,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, tk ASC) AS rank
+       FROM sc)
+SELECT doc_id, tk AS term, CAST(rank AS INT) AS rank,
+       ROUND(score, 6) AS score
+FROM rk WHERE rank <= 3"""
 
     s["domain_quality"] = f"""
 WITH t AS (SELECT source AS domain, text, {tokens_sql('text')} AS toks FROM documents),

@@ -298,3 +298,46 @@ def unigram_logprob_score(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    k: int = 3,
+) -> DataFrame:
+    """(id, term, rank, score): each doc's top-k tokens by tf·idf with
+    idf = ln(N / df) — the keyword-extraction signal indexing and topic
+    bucketing use. Deterministic: ties break by (score desc, term asc),
+    and scores come from integer (tf, df, N) via one ln and one
+    multiply, so equal-count terms tie exactly on both engines.
+
+    Plan: token explode → groupBy(id, token) for tf → groupBy(token)
+    for df (pre-aggregated, |vocab|-sized, broadcast back) → per-doc
+    window top-k. The window partitions by doc id — bounded by doc
+    length, no mega-partition risk."""
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_col(F.col(text_col))).alias("tk"),
+    )
+    tf = tok.groupBy("id", "tk").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tk").agg(F.count("*").alias("df"))
+    n_docs = tf.agg(F.countDistinct("id").alias("_n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tk")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("_n") / F.col("df")))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("tk").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "id",
+            F.col("tk").alias("term"),
+            "rank",
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -284,3 +284,33 @@ def test_unigram_logprob_score(spark):
     assert out[2]["n_tokens"] == 2 and abs(out[2]["avg_neg_logprob"] - exp2) < 1e-6
     # the rare-token doc scores strictly higher (worse) than stopword soup
     assert out[1]["avg_neg_logprob"] > out[2]["avg_neg_logprob"]
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from cocrawler_spark.operators.curation import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "banana cherry shared shared"),
+        (3, "shared date date date"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = tfidf_top_terms(df, "text", "id", k=2).collect()
+    n = 3.0
+    dfq = {"apple": 1, "banana": 2, "cherry": 1, "shared": 3, "date": 1}
+
+    def score(tf, term):
+        return tf * math.log(n / dfq[term])
+
+    # doc 1: apple tf2 idf ln3 beats banana/shared
+    got = {(r["id"], r["rank"]): (r["term"], r["score"]) for r in out}
+    assert got[(1, 1)][0] == "apple"
+    assert abs(got[(1, 1)][1] - round(score(2, "apple"), 6)) < 1e-9
+    # doc 3: date tf3 first; 'shared' has idf ln(1)=0 -> score 0, still
+    # rank 2 (only other term), deterministic
+    assert got[(3, 1)][0] == "date" and got[(3, 2)] == ("shared", 0.0)
+    # doc 2: cherry (tf1, ln3) vs banana (tf1, ln1.5): cherry wins
+    assert got[(2, 1)][0] == "cherry" and got[(2, 2)][0] == "banana"
+    assert all(r["rank"] <= 2 for r in out)
