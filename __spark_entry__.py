@@ -983,6 +983,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_quality"] = domain_quality
 
+    # --- host link-graph analytics (web-graph rollups over crawl output) ---
+    def graph_host_degrees(spark, sf):
+        """Degree rollup over the host graph distilled from outlinks:
+        per-host out/in edge counts + distinct neighbors (moduli chosen
+        so some hosts are in-only, exercising the outer merge)."""
+        from cocrawler_spark.operators.graph import host_degrees
+
+        li = _t(spark, sf, "lineitem")
+        edges = li.select(
+            F.concat(F.lit("h"), (F.col("l_orderkey") % 50).cast("string")).alias("src"),
+            F.concat(F.lit("h"), (F.col("l_partkey") % 60).cast("string")).alias("dst"),
+        )
+        return host_degrees(edges)
+
+    q["graph_host_degrees"] = graph_host_degrees
+
+    def graph_pagerank(spark, sf):
+        """3 PageRank power-iteration rounds (d=0.85, dangling mass
+        redistributed) on the simple host digraph — seed-priority
+        signal for the frontier scheduler."""
+        from cocrawler_spark.operators.graph import pagerank
+
+        li = _t(spark, sf, "lineitem")
+        edges = li.select(
+            F.concat(F.lit("h"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((F.col("l_partkey") * 7 + 3) % 40).cast("string")
+            ).alias("dst"),
+        )
+        return pagerank(edges, iters=3, damping=0.85).select(
+            "node", F.round("rank", 6).alias("rank")
+        )
+
+    q["graph_pagerank"] = graph_pagerank
+
+    def trap_host_signal(spark, sf):
+        """Crawl-trap triage: hosts whose URL count is large relative to
+        their distinct content hashes (calendar/session-id traps mint
+        unbounded URLs over few pages). One groupBy; ratio + flag."""
+        li = _t(spark, sf, "lineitem")
+        urls = li.select(
+            F.concat(F.lit("h"), (F.col("l_orderkey") % 30).cast("string")).alias("host"),
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("url_id"),
+            F.md5((F.col("l_partkey") % 500).cast("string")).alias("content_hash"),
+        )
+        return (
+            urls.groupBy("host")
+            .agg(
+                F.count("*").alias("n_urls"),
+                F.countDistinct("content_hash").alias("n_content"),
+            )
+            .select(
+                "host", "n_urls", "n_content",
+                F.round(F.col("n_urls") / F.col("n_content"), 6).alias("url_content_ratio"),
+                (F.col("n_urls") / F.col("n_content") > 4.0).alias("trap_suspect"),
+            )
+        )
+
+    q["trap_host_signal"] = trap_host_signal
+
+    # --- chunk-level (paragraph-granularity) exact dedup --------------------
+    def dedup_chunks(spark, sf):
+        """Per-doc chunk-duplication profile: 10-word chunks, global
+        frequency >= 2 counts as duplicated (paragraph-level dedup's
+        measurement half)."""
+        from cocrawler_spark.operators.dedup import duplicated_chunk_stats
+
+        return duplicated_chunk_stats(
+            _ts(spark, sf, "documents"), "text", "doc_id", chunk_words=10
+        ).select(F.col("id").alias("doc_id"), "n_chunks", "n_dup_chunks", "dup_ratio")
+
+    q["dedup_chunks"] = dedup_chunks
+
+    def dedup_chunks_rebuild(spark, sf):
+        """Paragraph-level scrub: keep the first (doc_id, pos) occurrence
+        of each 10-word chunk corpus-wide and rebuild documents from the
+        surviving chunks."""
+        from cocrawler_spark.operators.dedup import chunk_dedup
+
+        return chunk_dedup(
+            _ts(spark, sf, "documents"), "text", "doc_id", chunk_words=10
+        ).select(F.col("id").alias("doc_id"), "text_deduped", "n_kept", "n_total")
+
+    q["dedup_chunks_rebuild"] = dedup_chunks_rebuild
+
     return q
 
 
@@ -1812,5 +1897,87 @@ SELECT domain, COUNT(*) AS n_docs,
   ROUND(AVG(ar), 6) AS mean_alpha_ratio,
   ROUND(AVG(sr), 6) AS mean_stopword_ratio
 FROM p GROUP BY domain HAVING COUNT(*) >= 2"""
+
+    s["graph_host_degrees"] = """
+WITH e AS (SELECT 'h' || CAST(l_orderkey % 50 AS VARCHAR) AS src,
+                  'h' || CAST(l_partkey % 60 AS VARCHAR) AS dst
+           FROM lineitem),
+o AS (SELECT src AS node, COUNT(*) AS out_degree,
+             COUNT(DISTINCT dst) AS out_distinct FROM e GROUP BY src),
+i AS (SELECT dst AS node, COUNT(*) AS in_degree,
+             COUNT(DISTINCT src) AS in_distinct FROM e GROUP BY dst)
+SELECT COALESCE(o.node, i.node) AS node,
+       CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+       CAST(COALESCE(out_distinct, 0) AS BIGINT) AS out_distinct,
+       CAST(COALESCE(in_distinct, 0) AS BIGINT) AS in_distinct
+FROM o FULL OUTER JOIN i ON o.node = i.node"""
+
+    # 3 unrolled PageRank rounds, dangling mass redistributed — the SQL
+    # statement of operators/graph.py:pagerank (double literals spelled
+    # as CASTs so both engines run the same IEEE ops; round(6) absorbs
+    # summation-order ulps).
+    _pr_round = """
+d{k} AS (SELECT COALESCE(SUM(r.rank), 0) AS dm
+         FROM r{p} r LEFT JOIN od ON r.node = od.src WHERE od.src IS NULL),
+c{k} AS (SELECT e.dst, SUM(r.rank / od.outdeg) AS inflow
+         FROM e JOIN r{p} r ON e.src = r.node JOIN od ON e.src = od.src
+         GROUP BY e.dst),
+r{k} AS (SELECT node,
+                (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+                + (CAST(0.85 AS DOUBLE) * (SELECT dm FROM d{k})) / (SELECT n FROM nn)
+                + CAST(0.85 AS DOUBLE) * COALESCE(c{k}.inflow, 0) AS rank
+         FROM nodes LEFT JOIN c{k} ON node = c{k}.dst)"""
+    s["graph_pagerank"] = (
+        """
+WITH e AS (SELECT DISTINCT 'h' || CAST(l_orderkey % 40 AS VARCHAR) AS src,
+                           'h' || CAST(((l_partkey * 7 + 3) % 40) AS VARCHAR) AS dst
+           FROM lineitem),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),"""
+        + _pr_round.format(k=1, p=0) + ","
+        + _pr_round.format(k=2, p=1) + ","
+        + _pr_round.format(k=3, p=2)
+        + """
+SELECT node, ROUND(rank, 6) AS rank FROM r3"""
+    )
+
+    s["trap_host_signal"] = """
+WITH u AS (SELECT 'h' || CAST(l_orderkey % 30 AS VARCHAR) AS host,
+                  md5(CAST(l_partkey % 500 AS VARCHAR)) AS content_hash
+           FROM lineitem)
+SELECT host, COUNT(*) AS n_urls,
+       CAST(COUNT(DISTINCT content_hash) AS BIGINT) AS n_content,
+       ROUND(COUNT(*) / COUNT(DISTINCT content_hash), 6) AS url_content_ratio,
+       (COUNT(*) / COUNT(DISTINCT content_hash)) > 4.0 AS trap_suspect
+FROM u GROUP BY host"""
+
+    _chunk_src = """
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+ch AS (SELECT doc_id, CAST(i.i AS INT) AS pos,
+              array_to_string(words[(i.i*10+1):(i.i*10+10)], ' ') AS chunk
+       FROM w, LATERAL (SELECT unnest(range(0,
+              CAST(ceil(len(words) / 10.0) AS INT))) AS i) i)"""
+    s["dedup_chunks"] = f"""
+WITH {_chunk_src},
+fr AS (SELECT chunk, COUNT(*) AS f FROM ch GROUP BY chunk)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       ROUND(SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6) AS dup_ratio
+FROM ch JOIN fr USING (chunk) GROUP BY doc_id"""
+
+    s["dedup_chunks_rebuild"] = f"""
+WITH {_chunk_src},
+rk AS (SELECT doc_id, pos, chunk,
+              ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+       FROM ch)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos),
+                '') AS text_deduped,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COUNT(*) AS n_total
+FROM rk GROUP BY doc_id"""
 
     return s

@@ -383,3 +383,111 @@ def simhash_candidates(
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.withColumn("hamming", ham.cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# chunk-level (paragraph-granularity) exact dedup
+# ---------------------------------------------------------------------------
+
+def chunk_col(text, chunk_words: int = 10):
+    """Column expression: text → array of fixed-width word chunks (the
+    paragraph analog for corpora whose documents carry no structural
+    paragraph breaks). Pure JVM: split → sequence → transform(slice →
+    array_join); the final partial chunk is kept."""
+    words = F.split(text, " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    return F.when(F.size(words) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def duplicated_chunk_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Per-document chunk-duplication profile: (id, n_chunks,
+    n_dup_chunks, dup_ratio) where a chunk is *duplicated* iff the
+    identical chunk text occurs anywhere else in the corpus (global
+    frequency ≥ 2, counting multiplicity — a doc that repeats its own
+    chunk counts too).
+
+    This is paragraph-level exact dedup's measurement half: the scrub
+    half is ``chunk_dedup`` below. Plan shape at 10^10 docs: one
+    explode → global chunk-frequency groupBy keyed by a 64-bit chunk
+    hash (uniform; map-side combine absorbs boilerplate chunks) → hash
+    join back on the same key → per-doc re-aggregation. No collects,
+    no windows over the corpus.
+    """
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(chunk_col(F.col(text_col), chunk_words)).alias("chunk"),
+    ).select("id", md5_hash64_col(F.col("chunk")).alias("ch"))
+    freq = chunks.groupBy("ch").agg(F.count("*").alias("_f"))
+    return (
+        chunks.join(freq, "ch")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("_f") >= 2).cast("long")).alias("n_dup_chunks"),
+        )
+        .select(
+            "id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias("dup_ratio"),
+        )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Paragraph-granularity scrub: rebuild each document keeping only
+    the *first* occurrence (by (id, position)) of every chunk across
+    the corpus — the training-data dedup that removes repeated
+    boilerplate paragraphs while keeping one canonical copy.
+
+    Returns (id, text_deduped, n_kept, n_total). Winner per chunk is
+    the lexicographically-minimal (id, pos) — deterministic under any
+    partitioning. Reassembly sorts kept chunks by original position
+    (array_sort over (pos, chunk) structs — per-doc, not a global
+    sort).
+    """
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunk_col(F.col(text_col), chunk_words)).alias("pos", "chunk"),
+    ).withColumn("ch", md5_hash64_col(F.col("chunk")))
+    winner = chunks.groupBy("ch").agg(
+        F.min(F.struct("id", "pos")).alias("_w")
+    )
+    kept = chunks.join(winner, "ch").withColumn(
+        "_keep",
+        (F.col("id") == F.col("_w.id")) & (F.col("pos") == F.col("_w.pos")),
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_keep"), F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_deduped"),
+        )
+        .select("id", "text_deduped", "n_kept", "n_total")
+    )

@@ -1,0 +1,109 @@
+"""Host-graph operators (operators/graph.py): degrees vs a Python
+reference, PageRank vs a numpy power-iteration reference (with and
+without dangling nodes), determinism across partitioning, and the
+no-driver-loop plan property (K rounds = one lazy lineage)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cocrawler_spark.operators.graph import host_degrees, pagerank
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "a"), ("a", "b"),  # dup edge a->b
+]
+
+
+def _edge_df(spark, edges, parts=None):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return df.repartition(parts) if parts else df
+
+
+def _np_pagerank(edges, iters, d, dangling):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    simple = sorted({(idx[a], idx[b]) for a, b in edges})
+    out = np.zeros(n)
+    for a, _ in simple:
+        out[a] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        inflow = np.zeros(n)
+        for a, b in simple:
+            inflow[b] += r[a] / out[a]
+        base = (1 - d) / n
+        if dangling == "redistribute":
+            base = base + d * r[out == 0].sum() / n
+        r = base + d * inflow
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_degrees(spark):
+    got = {
+        r["node"]: (r["out_degree"], r["in_degree"], r["out_distinct"], r["in_distinct"])
+        for r in host_degrees(_edge_df(spark, EDGES)).collect()
+    }
+    assert got == {
+        "a": (3, 2, 2, 2),   # a->b twice + a->c; in from c, d
+        "b": (1, 2, 1, 1),   # in: a->b twice (multiplicity), 1 distinct
+        "c": (1, 3, 1, 3),
+        "d": (2, 0, 2, 0),
+    }
+
+
+@pytest.mark.parametrize("dangling", ["redistribute", "drop"])
+def test_pagerank_matches_numpy(spark, dangling):
+    # d has no in-edges; add a sink node 'e' with no OUT-edges to
+    # exercise dangling-mass handling.
+    edges = EDGES + [("b", "e")]
+    want = _np_pagerank(edges, iters=4, d=0.85, dangling=dangling)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            _edge_df(spark, edges), iters=4, damping=0.85, dangling=dangling
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+    if dangling == "redistribute":
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_partition_invariance(spark):
+    a = pagerank(_edge_df(spark, EDGES, parts=1), iters=3).collect()
+    b = pagerank(_edge_df(spark, EDGES, parts=7), iters=3).collect()
+    ra = {r["node"]: r["rank"] for r in a}
+    rb = {r["node"]: r["rank"] for r in b}
+    assert set(ra) == set(rb)
+    for k in ra:
+        assert ra[k] == pytest.approx(rb[k], abs=1e-12)
+
+
+def test_pagerank_empty(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df, iters=2).count() == 0
+
+
+def test_pagerank_checkpoint_equivalent(spark):
+    base = {r["node"]: r["rank"] for r in pagerank(_edge_df(spark, EDGES), iters=5).collect()}
+    ckpt = {
+        r["node"]: r["rank"]
+        for r in pagerank(_edge_df(spark, EDGES), iters=5, checkpoint_every=2).collect()
+    }
+    for k in base:
+        assert base[k] == pytest.approx(ckpt[k], abs=1e-12)
+
+
+def test_pagerank_releases_cache(spark):
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    pagerank(_edge_df(spark, EDGES), iters=2).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before + 1  # only the eager localCheckpoint result may remain
