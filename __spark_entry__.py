@@ -1068,6 +1068,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_chunks_rebuild"] = dedup_chunks_rebuild
 
+    def url_blocklist_filter(spark, sf):
+        """The url_allowed denylist gate (config.deny_url_regexes) as a
+        standalone filter: drop session-id and calendar-trap URLs via
+        one codegen'd rlike over the combined alternation."""
+        o = _t(spark, sf, "orders")
+        url = F.concat(
+            F.lit("http://h"), (F.col("o_orderkey") % 20).cast("string"),
+            F.lit(".test/"),
+            F.element_at(
+                F.array(
+                    F.lit("page"), F.lit("calendar/2020/01"),
+                    F.lit("item?sessionid=abc"), F.lit("article"),
+                    F.lit("tag/list"),
+                ),
+                ((F.col("o_orderkey") % 5) + 1).cast("int"),
+            ),
+            F.lit("/"), F.col("o_orderkey").cast("string"),
+        )
+        return (
+            o.select("o_orderkey", url.alias("url"))
+            .filter(~F.col("url").rlike("sessionid=|/calendar/"))
+        )
+
+    q["url_blocklist_filter"] = url_blocklist_filter
+
     return q
 
 
@@ -1979,5 +2004,15 @@ SELECT doc_id,
        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        COUNT(*) AS n_total
 FROM rk GROUP BY doc_id"""
+
+    s["url_blocklist_filter"] = """
+WITH u AS (SELECT o_orderkey,
+       'http://h' || CAST(o_orderkey % 20 AS VARCHAR) || '.test/' ||
+       (['page', 'calendar/2020/01', 'item?sessionid=abc', 'article',
+         'tag/list'])[CAST(o_orderkey % 5 AS INT) + 1] ||
+       '/' || CAST(o_orderkey AS VARCHAR) AS url
+FROM orders)
+SELECT o_orderkey, url FROM u
+WHERE NOT regexp_matches(url, 'sessionid=|/calendar/')"""
 
     return s

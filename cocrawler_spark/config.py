@@ -41,6 +41,14 @@ class CrawlConfig:
     flaky_mod: int = 10
     # hard stop on wave count (safety net, not part of reference semantics)
     max_waves: int = 32
+    # URL denylist (the url_allowed plugin seam†): candidates whose
+    # CANONICAL url matches any pattern are dropped at add-time, after
+    # the depth gate. Patterns must stay in the Java-regex ∩ Python-re
+    # common subset (literals, char classes, alternation, anchors,
+    # bounded repetition) — both the JVM rlike gate and the simulator's
+    # re.search evaluate them, and gate parity is what the equality
+    # suite asserts. Empty tuple = gate off (no plan change).
+    deny_url_regexes: tuple = ()
 
     def to_dict(self) -> dict:
         return asdict(self)

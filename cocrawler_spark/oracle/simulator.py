@@ -48,6 +48,7 @@ continuous event loop; north_rule's unit is the wave):
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from ..config import CrawlConfig
@@ -145,7 +146,7 @@ class Simulator:
         canon_items: list[Item] = []
         counters = dict(
             bad_url=0, scheme_dropped=0, private_dropped=0,
-            dns_private_dropped=0, depth_dropped=0,
+            dns_private_dropped=0, depth_dropped=0, denylist_dropped=0,
         )
         for cand in raw_candidates:
             c = canonicalize_one(cand["raw"], cand.get("base"))
@@ -163,6 +164,11 @@ class Simulator:
                 continue
             if cand["depth"] > cfg.max_depth:
                 counters["depth_dropped"] += 1
+                continue
+            if cfg.deny_url_regexes and any(
+                re.search(p, c.url) for p in cfg.deny_url_regexes
+            ):
+                counters["denylist_dropped"] += 1
                 continue
             canon_items.append(
                 Item(
@@ -206,6 +212,7 @@ class Simulator:
         self._metric(wave, "private_dropped", counters["private_dropped"])
         self._metric(wave, "dns_private_dropped", counters["dns_private_dropped"])
         self._metric(wave, "depth_dropped", counters["depth_dropped"])
+        self._metric(wave, "denylist_dropped", counters["denylist_dropped"])
         self._metric(wave, "wave_dup_dropped", wave_dups)
         self._metric(wave, "seen_dup_dropped", seen_dups)
         return new_items

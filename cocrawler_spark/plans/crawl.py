@@ -400,8 +400,7 @@ class CrawlEngine:
             )
         )
         c = with_canonical(cand0, "raw", base_col="base")
-        c = c.withColumn(
-            "drop_reason",
+        drop = (
             F.when(F.col("url") == "", "bad_url")
             .when(~F.col("scheme").isin(*ALLOWED_SCHEMES), "scheme_dropped")
             .when(is_private_host_udf()(F.col("host")), "private_dropped")
@@ -409,8 +408,15 @@ class CrawlEngine:
             # to private space): deterministic fake resolution, one
             # codegen'd md5 expression per row — no join, no Python
             .when(resolved_private_host_col(F.col("host")), "dns_private_dropped")
-            .when(F.col("depth") > F.lit(cfg.max_depth), "depth_dropped"),
+            .when(F.col("depth") > F.lit(cfg.max_depth), "depth_dropped")
         )
+        if cfg.deny_url_regexes:
+            # url_allowed denylist†: one codegen'd rlike over the
+            # combined alternation; gate order (after depth) mirrors
+            # the simulator exactly.
+            combined = "|".join(f"(?:{p})" for p in cfg.deny_url_regexes)
+            drop = drop.when(F.col("url").rlike(combined), "denylist_dropped")
+        c = c.withColumn("drop_reason", drop)
         # In lean mode `c` (the full canonicalized candidate set — the
         # wave's widest intermediate, ~GBs) has exactly one consumer, so
         # caching it only evicts blocks other stages still need; persist
@@ -424,7 +430,7 @@ class CrawlEngine:
             }
             for name in (
                 "bad_url", "scheme_dropped", "private_dropped",
-                "dns_private_dropped", "depth_dropped",
+                "dns_private_dropped", "depth_dropped", "denylist_dropped",
             ):
                 self._metric(wave, name, reasons.get(name, 0))
             kept_count = reasons.get(None, 0)

@@ -390,3 +390,20 @@ def test_seed_text_reader(spark, tiny_web, tmp_path):
     )
     engine.run()
     assert_engine_matches_oracle(engine, simulate(tiny_web, CFG))
+
+
+def test_tiny_equality_denylist(spark, tiny_web, tmp_path):
+    """URL denylist gate (config.deny_url_regexes): JVM rlike gate and
+    the simulator's re.search agree on drops, metrics, and the crawl
+    order that survives — and the gate actually fires (nonzero
+    denylist_dropped)."""
+    cfg = CFG.with_(deny_url_regexes=(r"/p/1\d$", r"^http://h3\."))
+    engine = build_engine(spark, tiny_web, cfg, tmp_path)
+    engine.run()
+    res = simulate(tiny_web, cfg)
+    denied = sum(v for (w, n, k, v) in res.metrics if n == "denylist_dropped")
+    assert denied > 0, "denylist scenario must actually drop URLs"
+    assert all(
+        not u.startswith("http://h3.") for (_, _, _, u) in res.crawl_order
+    )
+    assert_engine_matches_oracle(engine, res)
