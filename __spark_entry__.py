@@ -1018,6 +1018,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_pagerank"] = graph_pagerank
 
+    def graph_hits(spark, sf):
+        """2 HITS rounds (hubs & authorities, L1-normalized per round)
+        on the simple host digraph."""
+        from cocrawler_spark.operators.graph import hits
+
+        li = _t(spark, sf, "lineitem")
+        edges = li.select(
+            F.concat(F.lit("h"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((F.col("l_partkey") * 7 + 3) % 40).cast("string")
+            ).alias("dst"),
+        )
+        return hits(edges, iters=2).select(
+            "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+        )
+
+    q["graph_hits"] = graph_hits
+
     def trap_host_signal(spark, sf):
         """Crawl-trap triage: hosts whose URL count is large relative to
         their distinct content hashes (calendar/session-id traps mint
@@ -1967,6 +1985,35 @@ r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),"
         + _pr_round.format(k=3, p=2)
         + """
 SELECT node, ROUND(rank, 6) AS rank FROM r3"""
+    )
+
+    # 2 unrolled HITS rounds with per-round L1 normalization — the SQL
+    # statement of operators/graph.py:hits.
+    _hits_round = """
+a{k} AS (SELECT e.dst, SUM(s.hub) AS a_raw
+         FROM e JOIN s{p} s ON e.src = s.node GROUP BY e.dst),
+an{k} AS (SELECT dst AS node, a_raw / (SELECT SUM(a_raw) FROM a{k}) AS auth
+          FROM a{k}),
+h{k} AS (SELECT e.src, SUM(an.auth) AS h_raw
+         FROM e JOIN an{k} an ON e.dst = an.node GROUP BY e.src),
+hn{k} AS (SELECT src AS node, h_raw / (SELECT SUM(h_raw) FROM h{k}) AS hub
+          FROM h{k}),
+s{k} AS (SELECT nodes.node, COALESCE(hn.hub, 0) AS hub,
+                COALESCE(an.auth, 0) AS auth
+         FROM nodes LEFT JOIN hn{k} hn ON nodes.node = hn.node
+                    LEFT JOIN an{k} an ON nodes.node = an.node)"""
+    s["graph_hits"] = (
+        """
+WITH e AS (SELECT DISTINCT 'h' || CAST(l_orderkey % 40 AS VARCHAR) AS src,
+                           'h' || CAST(((l_partkey * 7 + 3) % 40) AS VARCHAR) AS dst
+           FROM lineitem),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+s0 AS (SELECT node, CAST(1 AS DOUBLE) AS hub, CAST(1 AS DOUBLE) AS auth
+       FROM nodes),"""
+        + _hits_round.format(k=1, p=0) + ","
+        + _hits_round.format(k=2, p=1)
+        + """
+SELECT node, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth FROM s2"""
     )
 
     s["trap_host_signal"] = """

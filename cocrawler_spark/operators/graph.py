@@ -8,6 +8,9 @@ it:
   distinct-neighbor counts. One shuffle per direction, full outer
   merge; the standard seed-prioritization / trap-triage rollup.
 
+* ``hits`` — K rounds of Kleinberg's hubs-and-authorities with per-round
+  L1 normalization; same join+groupBy round shape as pagerank.
+
 * ``pagerank`` — K synchronous power-iteration rounds of PageRank on
   the simple digraph (duplicate edges collapsed). Each round is one
   join (ranks × out-edges) + one groupBy(dst) sum — the canonical
@@ -163,3 +166,67 @@ def pagerank(
         return ranks.localCheckpoint(eager=True)
     finally:
         links.unpersist()
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """K rounds of HITS (Kleinberg hubs & authorities) on the simple
+    digraph, L1-normalizing both score vectors every round (the scalar
+    sums ride as broadcast 1-row aggregates — no driver collect; and
+    normalized magnitudes keep float error at ~1e-16 relative instead
+    of compounding with the graph's edge count).
+
+    Per round: auth'(v) = Σ_{u→v} hub(u), hub'(u) = Σ_{u→v} auth'(v),
+    each one join + one groupBy — the same shuffle shape as pagerank.
+    Returns (node, hub, auth). Nodes with no in-edges get auth 0; no
+    out-edges get hub 0.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    e.count()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    try:
+        scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("auth"))
+        for _ in range(iters):
+            auth = (
+                e.join(scores, e["src"] == scores["node"])
+                .groupBy("dst")
+                .agg(F.sum("hub").alias("a_raw"))
+            )
+            a_tot = auth.agg(F.sum("a_raw").alias("_at"))
+            auth_n = auth.crossJoin(F.broadcast(a_tot)).select(
+                F.col("dst").alias("node"), (F.col("a_raw") / F.col("_at")).alias("auth")
+            )
+            hub = (
+                e.join(auth_n, e["dst"] == auth_n["node"])
+                .groupBy("src")
+                .agg(F.sum("auth").alias("h_raw"))
+            )
+            h_tot = hub.agg(F.sum("h_raw").alias("_ht"))
+            hub_n = hub.crossJoin(F.broadcast(h_tot)).select(
+                F.col("src").alias("node"), (F.col("h_raw") / F.col("_ht")).alias("hub")
+            )
+            scores = (
+                nodes.join(hub_n, "node", "left")
+                .join(auth_n, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                    F.coalesce("auth", F.lit(0.0)).alias("auth"),
+                )
+            )
+        return scores.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

@@ -107,3 +107,39 @@ def test_pagerank_releases_cache(spark):
     pagerank(_edge_df(spark, EDGES), iters=2).collect()
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before + 1  # only the eager localCheckpoint result may remain
+
+
+def _np_hits(edges, iters):
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    simple = sorted({(idx[a], idx[b]) for a, b in edges})
+    n = len(nodes)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for u, v in simple:
+            a[v] += hub[u]
+        a = a / a.sum()
+        h = np.zeros(n)
+        for u, v in simple:
+            h[u] += a[v]
+        h = h / h.sum()
+        hub, auth = h, a
+    return {nodes[i]: (hub[i], auth[i]) for i in range(n)}
+
+
+def test_hits_matches_numpy(spark):
+    from cocrawler_spark.operators.graph import hits
+
+    edges = EDGES + [("b", "e")]  # e: auth-only sink
+    want = _np_hits(edges, iters=3)
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits(_edge_df(spark, edges), iters=3).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0], abs=1e-12)
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-12)
+    assert got["e"][0] == 0.0  # no out-edges -> hub 0
