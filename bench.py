@@ -51,6 +51,8 @@ HEADLINE = [
     "media_assets_meta",
     "session_windows",
     "text_decontaminate",
+    "graph_pagerank",
+    "dedup_chunks",
 ]
 
 
