@@ -694,7 +694,9 @@ class CrawlEngine:
         self._stage_async("dns_cache", self.dns_cache, 0, mode="full")
         results = self._join_writes()
         self._base_manifest = self.catalog.commit(
-            0, {"total_fetched": 0, "done": False}, base={"tables": {}}
+            0,
+            {"total_fetched": 0, "done": False, "config": self.cfg.to_dict()},
+            base={"tables": {}},
         )
         self.frontier_count = n_new
         self._refresh_state_after_writes(0)
@@ -1217,6 +1219,11 @@ class CrawlEngine:
             "total_fetched": self.total_fetched,
             "seen_total": self.seen_total,
             "done": n_next == 0,
+            # config provenance: the decision procedure this snapshot was
+            # produced under — resume() refuses to continue a crawl under
+            # a semantically different config (silent divergence is worse
+            # than a loud error; same rationale as bloom_format)
+            "config": self.cfg.to_dict(),
         }
         if self.use_bloom:
             # bucket-routing version of the bitmaps this snapshot holds;
@@ -1276,13 +1283,23 @@ class CrawlEngine:
         }
 
     def resume(
-        self, max_waves: Optional[int] = None, at_wave: Optional[int] = None
+        self,
+        max_waves: Optional[int] = None,
+        at_wave: Optional[int] = None,
+        allow_config_change: bool = False,
     ) -> int:
         """Continue from the latest committed snapshot (north_rule:
         resumable from checkpoint), or roll back to snapshot `at_wave`
         and re-run from there. Idempotent per wave: a wave is
         deterministic given its inputs, so replaying a partially-written
-        (uncommitted) wave just overwrites its staged files."""
+        (uncommitted) wave just overwrites its staged files.
+
+        Snapshots record the config they were produced under; resuming
+        with a semantically different config (anything but the
+        `max_waves` run-control cap) raises unless
+        ``allow_config_change=True`` — a changed gate (max_depth,
+        deny_url_regexes, …) silently diverges the crawl from the one
+        the snapshot belongs to."""
         m = (
             self.catalog.manifest_at(at_wave)
             if at_wave is not None
@@ -1290,6 +1307,27 @@ class CrawlEngine:
         )
         if m is None:
             return self.run(max_waves)
+        saved_cfg = m.get("config")
+        if saved_cfg is not None and not allow_config_change:
+            import json as _json
+
+            # JSON round-trip normalizes tuple/list so a manifest read
+            # from disk compares equal to a live to_dict()
+            cur = _json.loads(_json.dumps(self.cfg.to_dict()))
+            sv, cv = dict(saved_cfg), dict(cur)
+            for k in ("max_waves",):  # run-control cap, not semantics
+                sv.pop(k, None)
+                cv.pop(k, None)
+            if sv != cv:
+                diff = sorted(
+                    k for k in set(sv) | set(cv) if sv.get(k) != cv.get(k)
+                )
+                raise ValueError(
+                    "resume(): config differs from the snapshot's on "
+                    f"{diff}; continuing would silently diverge from the "
+                    "crawl this snapshot belongs to. Pass "
+                    "allow_config_change=True to override."
+                )
         self._base_manifest = m
         self.frontier = self.catalog.load("frontier", m)
         self.seen = self.catalog.load("seen", m)

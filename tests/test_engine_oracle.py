@@ -407,3 +407,22 @@ def test_tiny_equality_denylist(spark, tiny_web, tmp_path):
         not u.startswith("http://h3.") for (_, _, _, u) in res.crawl_order
     )
     assert_engine_matches_oracle(engine, res)
+
+
+def test_resume_config_mismatch_raises(spark, tiny_web, tmp_path):
+    """Snapshots record their config; resuming under a semantically
+    different one must raise (silent divergence guard), while a pure
+    max_waves change and allow_config_change=True both proceed."""
+    e1 = build_engine(spark, tiny_web, CFG, tmp_path)
+    e1.run(max_waves=2)
+
+    changed = CFG.with_(max_depth=CFG.max_depth + 1)
+    e2 = build_engine(spark, tiny_web, changed, tmp_path)
+    with pytest.raises(ValueError, match="max_depth"):
+        e2.resume()
+
+    # max_waves is run-control, not semantics — no error; and the
+    # completed resume must still equal the uninterrupted oracle run.
+    e3 = build_engine(spark, tiny_web, CFG.with_(max_waves=CFG.max_waves + 1), tmp_path)
+    e3.resume(max_waves=CFG.max_waves)
+    assert_engine_matches_oracle(e3, simulate(tiny_web, CFG))
