@@ -19,6 +19,11 @@ orphan files that the next resume simply never references.
 Layout:
     root/tables/<name>/w<wave>-<mode>/*.parquet   (mode: delta|full)
     root/manifests/m<wave>.json
+
+Manifest extras carried by the engine: total_fetched / seen_total /
+done (run state), bloom_format (bucket-routing version of the
+snapshot's bitmaps), and config (the full CrawlConfig the snapshot was
+produced under — resume() refuses a semantically different config).
 """
 
 from __future__ import annotations
