@@ -43,7 +43,16 @@ from cocrawler_spark.operators.dedup import (
 )
 from cocrawler_spark.functions.domains import SUFFIXES as _SUFFIXES
 from cocrawler_spark.functions.domains import registered_domain_udf
-from cocrawler_spark.operators.dedup import simhash_candidates
+from cocrawler_spark.operators.dedup import (
+    ngram_containment_pairs,
+    simhash_candidates,
+)
+from cocrawler_spark.operators.temporal import (
+    asof_join,
+    hypertable_rollup,
+    range_join_buckets,
+    recrawl_schedule,
+)
 from cocrawler_spark.operators.redirects import special_redirect_col
 from cocrawler_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -1111,6 +1120,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_blocklist_filter"] = url_blocklist_filter
 
+    # --- temporal operators (as-of / range join / hypertable / recrawl) ---
+
+    def temporal_asof_join(spark, sf):
+        # Each click joined to the user's latest strictly-earlier view
+        # (id + value carried): union + carry-forward window, ONE
+        # exchange on user_id — never a theta-join (which Spark plans
+        # as a nested-loop at any scale).
+        e = _t(spark, sf, "events")
+        out = asof_join(
+            e.filter(F.col("event_type") == "click"),
+            e.filter(F.col("event_type") == "view"),
+            key="user_id", ts="ts", left_id="event_id", right_id="event_id",
+            right_payload=["value"], strict=True,
+        )
+        return out.select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_id",
+            "matched_event_id",
+            F.round("matched_value", 6).alias("matched_value"),
+        )
+
+    q["temporal_asof_join"] = temporal_asof_join
+
+    def temporal_range_join(spark, sf):
+        # Clicks landing inside [error_ts, error_ts + 300 s) for the
+        # same user — interval join bucketized to an equi-join on
+        # (user_id, 300 s bucket); fan-out per interval ≤ 2 buckets.
+        e = _t(spark, sf, "events")
+        errs = e.filter(F.col("event_type") == "error").select(
+            "user_id",
+            F.col("ts").alias("st"),
+            F.timestamp_micros(F.unix_micros(F.col("ts").cast("timestamp")) + 300_000_000).alias("en"),
+            F.col("event_id").alias("err_id"),
+        )
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id")
+        )
+        return range_join_buckets(
+            clicks, errs, key="user_id", point_ts="ts",
+            start_ts="st", end_ts="en",
+            point_id="click_id", interval_id="err_id", bucket_s=300.0,
+        )
+
+    q["temporal_range_join"] = temporal_range_join
+
+    def temporal_hypertable_rollup(spark, sf):
+        # hour→day continuous-aggregate cascade: day re-aggregates the
+        # hourly partials (algebraic count/sum/min/max), so the raw
+        # table is scanned exactly once regardless of grain count.
+        out = hypertable_rollup(
+            _t(spark, sf, "events"), ts="ts", dims=["event_type"],
+            value="value", grains=("hour", "day"),
+        )
+        return out.select(
+            "grain",
+            F.unix_micros(F.col("bucket").cast("timestamp")).alias("bucket_us"),
+            "event_type",
+            "n_rows",
+            F.round("sum_v", 6).alias("sum_v"),
+            F.round("min_v", 6).alias("min_v"),
+            F.round("max_v", 6).alias("max_v"),
+        )
+
+    q["temporal_hypertable_rollup"] = temporal_hypertable_rollup
+
+    def temporal_recrawl_schedule(spark, sf):
+        # Fetch-history analog: user_id = page, click = "content
+        # changed on this visit"; Cho & Garcia-Molina change-rate
+        # estimator → clamped revisit interval. One partial-agg
+        # groupBy + scalar math.
+        out = recrawl_schedule(
+            _t(spark, sf, "events"), page="user_id", ts="ts",
+            changed=F.col("event_type") == "click",
+        )
+        return out.select("page", "n_visits", "n_changed", "revisit_s")
+
+    q["temporal_recrawl_schedule"] = temporal_recrawl_schedule
+
+    def dedup_ngram_containment(spark, sf):
+        # Broder containment |A∩B|/min(|A|,|B|): catches short-doc-
+        # inside-long-doc duplication that Jaccard under-scores; same
+        # capped shared-shingle candidate join as dedup_ngram_jaccard.
+        return ngram_containment_pairs(
+            _ts(spark, sf, "documents"), "text", "doc_id",
+            shingle_n=3, threshold=0.5, max_df=256,
+        )
+
+    q["dedup_ngram_containment"] = dedup_ngram_containment
+
     return q
 
 
@@ -2061,5 +2160,67 @@ WITH u AS (SELECT o_orderkey,
 FROM orders)
 SELECT o_orderkey, url FROM u
 WHERE NOT regexp_matches(url, 'sessionid=|/calendar/')"""
+
+    # --- temporal operators --------------------------------------------------
+    # Independent formulations on purpose: the Spark side is a
+    # union+carry-forward window / bucketized equi-join / partial-agg
+    # cascade; the oracles are correlated subqueries and plain
+    # theta-joins DuckDB can afford at sf0.01.
+
+    _ASOF_MATCH = """(SELECT r.{col} FROM events r
+     WHERE r.user_id = l.user_id AND r.event_type = 'view' AND r.ts < l.ts
+     ORDER BY r.ts DESC, r.event_id DESC LIMIT 1)"""
+    s["temporal_asof_join"] = f"""
+SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id,
+       {_ASOF_MATCH.format(col='event_id')} AS matched_event_id,
+       ROUND({_ASOF_MATCH.format(col='value')}, 6) AS matched_value
+FROM events l WHERE l.event_type = 'click'"""
+
+    s["temporal_range_join"] = """
+SELECT e.user_id, e.event_id AS err_id, c.event_id AS click_id
+FROM events e JOIN events c ON c.user_id = e.user_id
+WHERE e.event_type = 'error' AND c.event_type = 'click'
+  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 300 SECOND"""
+
+    s["temporal_hypertable_rollup"] = """
+SELECT 'hour' AS grain, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+       event_type, COUNT(*) AS n_rows, ROUND(SUM(value), 6) AS sum_v,
+       ROUND(MIN(value), 6) AS min_v, ROUND(MAX(value), 6) AS max_v
+FROM events GROUP BY date_trunc('hour', ts), event_type
+UNION ALL
+SELECT 'day', epoch_us(date_trunc('day', ts)), event_type,
+       COUNT(*), ROUND(SUM(value), 6), ROUND(MIN(value), 6), ROUND(MAX(value), 6)
+FROM events GROUP BY date_trunc('day', ts), event_type"""
+
+    s["temporal_recrawl_schedule"] = """
+WITH g AS (
+  SELECT user_id AS page, COUNT(*) AS n_visits,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
+  FROM events GROUP BY user_id)
+SELECT page, n_visits, n_changed,
+  ROUND(CASE WHEN n_visits > 1 AND last_us > first_us THEN
+    LEAST(GREATEST(
+      0.5 / ((-ln(1 - (n_changed + 0.5) / (n_visits + 1.0))) /
+             ((last_us - first_us) / 1e6 / (n_visits - 1))),
+      3600.0), 2592000.0)
+  ELSE 2592000.0 END, 6) AS revisit_s
+FROM g"""
+
+    s["dedup_ngram_containment"] = f"""
+WITH {_SHINGLES_CTE},
+shc AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM sh)
+  WHERE df <= 256),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       ROUND(inter / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter / LEAST(sa.n_sh, sb.n_sh), 6) >= 0.5"""
 
     return s

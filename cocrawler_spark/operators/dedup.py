@@ -269,6 +269,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: Optional[int] = 256,
+) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs: C = |A∩B| / min(|A|, |B|).
+
+    Jaccard under-scores a short document embedded verbatim inside a
+    much longer one (quote farms, wrapper boilerplate, page-of-pages
+    aggregators — the classic web-dedup case Broder's containment
+    measure targets); C answers "is the smaller doc mostly inside the
+    bigger one". Same candidate generation as
+    :func:`ngram_jaccard_pairs` — shared-shingle equi-join with the
+    ``max_df`` hot-shingle cap — so the join stays bucket-bounded at
+    web scale; only the final scalar differs.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes_col(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    if max_df is not None:
+        wdf = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("_df", F.count("*").over(wdf))
+            .filter(F.col("_df") <= max_df)
+            .drop("_df")
+        )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("inter") / F.least(F.col("n_a"), F.col("n_b")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "inter", "n_a", "n_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
