@@ -53,6 +53,10 @@ HEADLINE = [
     "text_decontaminate",
     "graph_pagerank",
     "dedup_chunks",
+    "temporal_asof_join",
+    "temporal_range_join",
+    "temporal_hypertable_rollup",
+    "temporal_recrawl_schedule",
 ]
 
 
