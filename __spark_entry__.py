@@ -1210,6 +1210,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_ngram_containment"] = dedup_ngram_containment
 
+    def sitemap_ingest(spark, sf):
+        # Round-trip oracle: the XML is synthesized deterministically
+        # from doc_id, Spark PARSES it (map-only regex chain in
+        # sources/corpus.py:parse_sitemaps), and the oracle emits the
+        # generating ground truth directly — parse must invert build.
+        d = _t(spark, sf, "documents").select("doc_id")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".test"))
+        u0 = F.concat(F.lit("http://"), host, F.lit("/s/"),
+                      F.col("doc_id").cast("string"), F.lit("/0"))
+        u1 = F.concat(F.lit("http://"), host, F.lit("/s/"),
+                      F.col("doc_id").cast("string"), F.lit("/1"))
+        digit = ((F.col("doc_id") % 9) + 1).cast("string")
+        xml = F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset>'),
+            F.lit("<url><loc>"), u0, F.lit("</loc><priority>0."), digit,
+            F.lit("</priority></url>"),
+            F.lit("<url>\n  <loc>  "), u1, F.lit("  </loc>\n  <lastmod>2024-05-0"),
+            digit, F.lit("</lastmod>\n</url>"),
+            F.lit("</urlset>"),
+        )
+        from cocrawler_spark.sources.corpus import parse_sitemaps
+
+        out = parse_sitemaps(d.select("doc_id", xml.alias("xml")))
+        return out.select(
+            "doc_id", "url",
+            F.round("priority", 6).alias("priority"), "lastmod",
+        )
+
+    q["sitemap_ingest"] = sitemap_ingest
+
+    def sample_weighted_topk(spark, sf):
+        # A-ES weighted top-k per stratum: inclusion ∝ doc length,
+        # reproducible across repartitioning (key is hash(id, seed)).
+        from cocrawler_spark.operators.curation import weighted_sample_topk
+
+        d = _ts(spark, sf, "documents").select(
+            "doc_id",
+            (F.col("doc_id") % 5).alias("stratum"),
+            F.length("text").alias("w"),
+        )
+        out = weighted_sample_topk(
+            d, weight_col="w", k=20, id_col="doc_id",
+            stratum_col="stratum", seed=7,
+        )
+        return out.select(
+            "stratum", "doc_id", "w",
+            F.round("aes_key", 6).alias("aes_key"), "aes_rank",
+        )
+
+    q["sample_weighted_topk"] = sample_weighted_topk
+
     return q
 
 
@@ -2222,5 +2273,34 @@ SELECT id_a, id_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
        ROUND(inter / LEAST(sa.n_sh, sb.n_sh), 6) AS containment
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE ROUND(inter / LEAST(sa.n_sh, sb.n_sh), 6) >= 0.5"""
+
+    s["sitemap_ingest"] = """
+SELECT doc_id,
+       'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.test/s/'
+         || CAST(doc_id AS VARCHAR) || '/0' AS url,
+       ROUND(CAST('0.' || CAST(doc_id % 9 + 1 AS VARCHAR) AS DOUBLE), 6) AS priority,
+       CAST(NULL AS VARCHAR) AS lastmod
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.test/s/'
+         || CAST(doc_id AS VARCHAR) || '/1',
+       CAST(NULL AS DOUBLE),
+       '2024-05-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+FROM documents"""
+
+    from cocrawler_spark.operators.curation import weighted_sample_key_sql
+
+    _aes = weighted_sample_key_sql("doc_id", "w", seed=7)
+    s["sample_weighted_topk"] = f"""
+WITH b AS (
+  SELECT doc_id, doc_id % 5 AS stratum, length(text) AS w
+  FROM documents WHERE length(text) > 0),
+k AS (SELECT *, {_aes} AS aes_key FROM b),
+r AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY stratum ORDER BY aes_key DESC, doc_id) AS aes_rank
+      FROM k)
+SELECT stratum, doc_id, w, ROUND(aes_key, 6) AS aes_key, aes_rank
+FROM r WHERE aes_rank <= 20"""
 
     return s

@@ -341,3 +341,66 @@ def tfidf_top_terms(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def weighted_sample_topk(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "id",
+    stratum_col: Optional[str] = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Efraimidis–Spirakis (A-ES) weighted sampling WITHOUT replacement:
+    keep, per stratum, the k docs with the largest key = ln(u)/w, where
+    u ∈ (0,1) is a deterministic hash-uniform of (id, seed) and w > 0
+    the doc's weight. Top-k by ln(u)/w is order-equivalent to the
+    textbook u^(1/w) (ln is monotone, 1/w > 0) and numerically tamer.
+    Inclusion probability is proportional to weight, exactly the A-ES
+    guarantee; the draw is reproducible across reprocessing and
+    repartitioning because u depends only on (id, seed), never on
+    partition layout.
+
+    Rows with non-positive weight are excluded (they'd get key −inf
+    anyway). Ties (measure-zero) break by id.
+
+    Scale: one exchange on the stratum + a per-stratum sort. For
+    mega-strata where k·|strata| ≪ N, shard the stratum first and take
+    per-shard top-k, then re-rank the k·shards survivors — the same
+    two-phase trick mix_token_budget_sharded uses; at the 10^6-docs-
+    per-stratum scale the plain window is fine.
+    """
+    u = (
+        F.pmod(
+            md5_hash64_col(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+            ),
+            F.lit(SAMPLE_DENOM),
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(SAMPLE_DENOM))
+    key = F.log(u) / F.col(weight_col)
+    part = [stratum_col] if stratum_col else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.col("_aes_key").desc(), F.col(id_col))
+    return (
+        docs.filter(F.col(weight_col) > 0)
+        .withColumn("_aes_key", key)
+        .withColumn("_aes_rank", F.row_number().over(w))
+        .filter(F.col("_aes_rank") <= k)
+        .withColumnRenamed("_aes_key", "aes_key")
+        .withColumnRenamed("_aes_rank", "aes_rank")
+    )
+
+
+def weighted_sample_key_sql(id_expr: str, weight_expr: str, seed: int = 0) -> str:
+    """DuckDB twin of the A-ES key: ln((md5h(id||':seed') mod 10^6 + 0.5)/10^6) / w."""
+    from ..functions.text import md5_hash64_sql
+
+    h = md5_hash64_sql(f"CAST({id_expr} AS VARCHAR) || ':{seed}'")
+    # Same op order as the Spark side — (pmod + 0.5) / D first, ONE ln —
+    # so both engines evaluate ln on the identical double.
+    u = (
+        f"(((({h}) % {SAMPLE_DENOM} + {SAMPLE_DENOM}) % {SAMPLE_DENOM}) + 0.5)"
+        f" / {float(SAMPLE_DENOM)}"
+    )
+    return f"ln({u}) / ({weight_expr})"

@@ -33,3 +33,43 @@ def read_seed_text(spark: SparkSession, path: str) -> DataFrame:
         .select(F.trim(F.col("value")).alias("url"))
         .filter((F.col("url") != "") & (~F.col("url").startswith("#")))
     )
+
+
+def parse_sitemaps(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Sitemap (urlset) ingestion: explode each sitemap XML document
+    into one row per ``<url>`` entry with its ``<loc>`` (required,
+    whitespace-trimmed), ``<priority>`` (double, NULL when absent) and
+    ``<lastmod>`` (string, NULL when absent).
+
+    Reference analog: a crawler's sitemap seed path (robots.txt
+    `Sitemap:` lines feeding the frontier). Pure JVM regex chain —
+    regexp_extract_all over the ``<url>`` blocks, then per-block field
+    extracts — so the whole parse stays in whole-stage codegen; at
+    10^10 sitemap entries this is a map-only operator (zero shuffles)
+    whose output unions straight into the seed/candidate stream.
+    Entries with an empty ``<loc>`` are dropped. Sitemap INDEX files
+    (`<sitemapindex>` of nested sitemap locs) are one recursion of the
+    same parse — callers loop parse → fetch → parse; the engine seam is
+    the candidate stream, so no special casing here.
+
+    All non-xml columns pass through unchanged.
+    """
+    passthrough = [c for c in df.columns if c != xml_col]
+    blocks = df.select(
+        *passthrough,
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(r"(?s)<url>(.*?)</url>"), 1)
+        ).alias("_blk"),
+    )
+    loc = F.regexp_extract("_blk", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    prio = F.regexp_extract("_blk", r"<priority>\s*([0-9.eE+-]+)\s*</priority>", 1)
+    lastmod = F.regexp_extract("_blk", r"<lastmod>\s*([^<\s]+)\s*</lastmod>", 1)
+    return (
+        blocks.select(
+            *passthrough,
+            loc.alias("url"),
+            F.when(prio != "", prio.cast("double")).alias("priority"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+        .filter(F.col("url") != "")
+    )
