@@ -70,6 +70,12 @@ from cocrawler_spark.sources.multimodal import (
 )
 
 
+# Decomposed e + combining acute (NFC-composes to é), doubled spaces,
+# NBSP, and a tab — prepended by text_normalize_nfc so the normalize
+# query exercises real unicode work on the ASCII driver corpus.
+_DIRTY_PREFIX = "Cafe\u0301  du\xa0Parc\t"
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -1261,6 +1267,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_weighted_topk"] = sample_weighted_topk
 
+    def text_normalize_nfc(spark, sf):
+        # The driver corpus is pure ASCII, so the query injects a
+        # deterministic decomposed-unicode + NBSP + tab prefix to make
+        # NFC + whitespace-collapse non-vacuous at grading time.
+        from cocrawler_spark.functions.text import normalize_text_udf
+
+        d = _t(spark, sf, "documents")
+        dirty = F.concat(F.lit(_DIRTY_PREFIX), F.col("text"), F.lit("  "))
+        return d.select(
+            "doc_id", normalize_text_udf()(dirty).alias("text_norm")
+        )
+
+    q["text_normalize_nfc"] = text_normalize_nfc
+
+    def robots_sitemap_directives(spark, sf):
+        # Round-trip oracle again: robots.txt bodies synthesized from
+        # orders, Spark extracts the `Sitemap:` lines (map-only JVM
+        # regex), oracle emits the generating truth.
+        from cocrawler_spark.functions.robots import sitemap_urls_col
+
+        o = _t(spark, sf, "orders").select("o_orderkey")
+        txt = F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp\n  sitemap: http://h"),
+            (F.col("o_orderkey") % 20).cast("string"),
+            F.lit(".test/sm"),
+            (F.col("o_orderkey") % 3).cast("string"),
+            F.lit(".xml  \nAllow: /\nSITEMAP: http://h"),
+            (F.col("o_orderkey") % 20).cast("string"),
+            F.lit(".test/sm-extra.xml\nnot-a-sitemap: nope\n"),
+        )
+        return (
+            o.select("o_orderkey", F.explode(sitemap_urls_col(txt)).alias("sitemap_url"))
+        )
+
+    q["robots_sitemap_directives"] = robots_sitemap_directives
+
     return q
 
 
@@ -2302,5 +2344,22 @@ r AS (SELECT *, ROW_NUMBER() OVER (
       FROM k)
 SELECT stratum, doc_id, w, ROUND(aes_key, 6) AS aes_key, aes_rank
 FROM r WHERE aes_rank <= 20"""
+
+    from cocrawler_spark.functions.text import normalize_text_sql
+
+    _dirty_sql = "'" + _DIRTY_PREFIX.replace("'", "''") + "' || text || '  '"
+    s["text_normalize_nfc"] = f"""
+SELECT doc_id, {normalize_text_sql(_dirty_sql)} AS text_norm
+FROM documents"""
+
+    s["robots_sitemap_directives"] = """
+SELECT o_orderkey,
+       'http://h' || CAST(o_orderkey % 20 AS VARCHAR) || '.test/sm'
+         || CAST(o_orderkey % 3 AS VARCHAR) || '.xml' AS sitemap_url
+FROM orders
+UNION ALL
+SELECT o_orderkey,
+       'http://h' || CAST(o_orderkey % 20 AS VARCHAR) || '.test/sm-extra.xml'
+FROM orders"""
 
     return s

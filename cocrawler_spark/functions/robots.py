@@ -55,3 +55,14 @@ def robots_allowed_udf():
         )
 
     return allowed
+
+
+def sitemap_urls_col(robots_txt: Column) -> Column:
+    """Array of sitemap URLs declared in a robots.txt body
+    (`Sitemap: <url>` lines, case-insensitive, per REP — they sit
+    outside user-agent groups). Pure JVM regexp_extract_all, so the
+    robots→sitemap→seed fan-out is map-only; feed the result through
+    sources.corpus.parse_sitemaps after fetching each URL."""
+    return F.regexp_extract_all(
+        robots_txt, F.lit(r"(?im)^\s*sitemap:\s*(\S+)\s*$"), F.lit(1)
+    )

@@ -10,6 +10,7 @@ language ID, quality scoring, token counting, document fingerprinting.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -232,4 +233,60 @@ def fingerprint_sql(expr: str, n: int = 3) -> str:
     return (
         f"(SELECT list_min(list_transform(range(1, greatest(len(t) - {n - 1}, 1) + 1), "
         f"i -> {inner})) FROM (SELECT {toks} AS t))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (the one text op with no JVM builtin)
+# ---------------------------------------------------------------------------
+
+# Explicit class on BOTH sides (Python re here, RE2 in the DuckDB twin)
+# so the collapse is engine-independent: ASCII whitespace + NBSP.
+_WS_RUN_PATTERN = r"[ \t\r\n\f\x0b\xa0]+"
+
+
+def normalize_text_py(s: str) -> str:
+    """NFC-normalize (UAX #15), collapse whitespace runs (incl. NBSP)
+    to single spaces, strip ends. The canonical first step of a text
+    pipeline: dedup/fingerprint/langid all assume composed codepoints
+    and uniform spacing."""
+    import re
+    import unicodedata
+
+    return re.sub(_WS_RUN_PATTERN, " ", unicodedata.normalize("NFC", s or "")).strip()
+
+
+def normalize_text_udf():
+    """Arrow-batched pandas UDF for :func:`normalize_text_py`.
+
+    Spark has no NFC builtin, so this is the documented slow-path
+    exception (SURVEY §2j discipline: vectorized Arrow batches, never
+    row-at-a-time). DuckDB twin: trim(regexp_replace(nfc_normalize(x),
+    '<same class>', ' ', 'g')) — RE2 parses the identical escape
+    sequence, pinned by the sitemap/normalize unit tests.
+    """
+    import re
+    import unicodedata
+
+    from pyspark.sql.types import StringType
+
+    rx = re.compile(_WS_RUN_PATTERN)
+
+    @F.pandas_udf(StringType())
+    def norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: rx.sub(" ", unicodedata.normalize("NFC", v)).strip()
+            if v is not None
+            else None
+        )
+
+    return norm
+
+
+def normalize_text_sql(expr: str) -> str:
+    """DuckDB twin of normalize_text_udf (same op order: NFC first,
+    then one collapse pass, then trim)."""
+    return (
+        f"trim(regexp_replace(nfc_normalize({expr}), "
+        f"'{_WS_RUN_PATTERN}', ' ', 'g'))"
     )

@@ -76,3 +76,47 @@ def test_weighted_sample_strata_and_nonpositive(spark):
     for g, rs in by_g.items():
         assert len(rs) == 5
         assert sorted(r["aes_rank"] for r in rs) == [1, 2, 3, 4, 5]
+
+
+def test_normalize_text_unicode(spark):
+    from cocrawler_spark.functions.text import (
+        normalize_text_py,
+        normalize_text_sql,
+        normalize_text_udf,
+    )
+
+    cases = [
+        "Café  du\xa0Parc",      # decomposed + NBSP + run
+        "\t å b \r\n",           # å decomposed, CRLF, edge ws
+        "plain ascii",
+        "",
+    ]
+    expect = ["Caf\u00e9 du Parc", "\u00e5 b", "plain ascii", ""]
+    import unicodedata
+    assert all(unicodedata.normalize("NFC", c) != c for c in cases[:2])
+    assert [normalize_text_py(c) for c in cases] == expect
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "s"])
+    got = {r["i"]: r["n"] for r in
+           df.select("i", normalize_text_udf()(df["s"]).alias("n")).collect()}
+    assert [got[i] for i in range(len(cases))] == expect
+    # DuckDB twin parity on the same cases
+    import duckdb
+    con = duckdb.connect()
+    for c, e in zip(cases, expect):
+        lit = "'" + c.replace("'", "''") + "'"
+        assert con.execute(f"SELECT {normalize_text_sql(lit)}").fetchone()[0] == e
+
+
+def test_robots_sitemap_directives_extract(spark):
+    from cocrawler_spark.functions.robots import sitemap_urls_col
+
+    txt = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: http://a.test/s1.xml\n"
+        "  SITEMAP:   http://a.test/s2.xml  \n"
+        "sitemap-not: http://a.test/nope.xml\n"
+        "#Sitemap: http://a.test/comment.xml\n"
+    )
+    df = spark.createDataFrame([(txt,)], ["t"])
+    got = df.select(sitemap_urls_col(df["t"]).alias("u")).collect()[0]["u"]
+    assert got == ["http://a.test/s1.xml", "http://a.test/s2.xml"]
