@@ -1303,6 +1303,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_sitemap_directives"] = robots_sitemap_directives
 
+    def robots_txt_parse(spark, sf):
+        # Round-trip: synthesize raw robots.txt bodies (generic group
+        # with delay; every 3rd adds a more-specific cocrawler group
+        # that must WIN group selection), parse with the Arrow REP
+        # parser, emit scalars. Oracle emits the generating truth.
+        from cocrawler_spark.functions.robots import parse_robots_txt_udf
+
+        o = _t(spark, sf, "orders").select("o_orderkey")
+        k = F.col("o_orderkey")
+        txt = F.concat(
+            F.lit("# synthetic robots\nUser-agent: *\nDisallow: /d"),
+            (k % 7).cast("string"),
+            F.lit("\nCrawl-delay: "),
+            ((k % 5) + 1).cast("string"),
+            F.lit("\n\n"),
+            F.when(
+                k % 3 == 0,
+                F.concat(
+                    F.lit("User-agent: cocrawler\nAllow: /a"),
+                    (k % 11).cast("string"),
+                    F.lit("\nDisallow: /x"),
+                    (k % 11).cast("string"),
+                    F.lit("\nDisallow:\n"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        parsed = o.select(
+            "o_orderkey", parse_robots_txt_udf("cocrawler")(txt).alias("r")
+        )
+        return parsed.select(
+            "o_orderkey",
+            F.array_join("r.allow", "|").alias("allow_s"),
+            F.array_join("r.disallow", "|").alias("disallow_s"),
+            F.col("r.crawl_delay").alias("crawl_delay"),
+        )
+
+    q["robots_txt_parse"] = robots_txt_parse
+
     return q
 
 
@@ -2360,6 +2398,18 @@ FROM orders
 UNION ALL
 SELECT o_orderkey,
        'http://h' || CAST(o_orderkey % 20 AS VARCHAR) || '.test/sm-extra.xml'
+FROM orders"""
+
+    s["robots_txt_parse"] = """
+SELECT o_orderkey,
+  CASE WHEN o_orderkey % 3 = 0
+       THEN '/a' || CAST(o_orderkey % 11 AS VARCHAR) ELSE '' END AS allow_s,
+  CASE WHEN o_orderkey % 3 = 0
+       THEN '/x' || CAST(o_orderkey % 11 AS VARCHAR)
+       ELSE '/d' || CAST(o_orderkey % 7 AS VARCHAR) END AS disallow_s,
+  CASE WHEN o_orderkey % 3 = 0
+       THEN CAST(NULL AS DOUBLE)
+       ELSE CAST(o_orderkey % 5 + 1 AS DOUBLE) END AS crawl_delay
 FROM orders"""
 
     return s

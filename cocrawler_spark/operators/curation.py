@@ -364,11 +364,12 @@ def weighted_sample_topk(
     Rows with non-positive weight are excluded (they'd get key −inf
     anyway). Ties (measure-zero) break by id.
 
-    Scale: one exchange on the stratum + a per-stratum sort. For
-    mega-strata where k·|strata| ≪ N, shard the stratum first and take
-    per-shard top-k, then re-rank the k·shards survivors — the same
-    two-phase trick mix_token_budget_sharded uses; at the 10^6-docs-
-    per-stratum scale the plain window is fine.
+    Scale: with a stratum, one exchange + per-stratum sort. WITHOUT a
+    stratum the global top-k runs two-phase (the trick
+    mix_token_budget_sharded uses): per-shard top-k over 64 hash
+    shards first, then the final rank over the ≤ 64·k survivors —
+    never a single-partition sort of the whole corpus. For mega-
+    strata, pre-shard the stratum the same way.
     """
     u = (
         F.pmod(
@@ -380,12 +381,29 @@ def weighted_sample_topk(
         + F.lit(0.5)
     ) / F.lit(float(SAMPLE_DENOM))
     key = F.log(u) / F.col(weight_col)
-    part = [stratum_col] if stratum_col else [F.lit(1)]
-    w = Window.partitionBy(*part).orderBy(F.col("_aes_key").desc(), F.col(id_col))
+    base = docs.filter(F.col(weight_col) > 0).withColumn("_aes_key", key)
+    if stratum_col is None:
+        # phase 1: top-k within each of 64 hash shards (a shard's
+        # non-top-k row can never be in the global top-k)
+        shard = F.pmod(
+            md5_hash64_col(F.concat(F.col(id_col).cast("string"), F.lit("#shard"))),
+            F.lit(64),
+        )
+        w1 = Window.partitionBy(shard).orderBy(
+            F.col("_aes_key").desc(), F.col(id_col)
+        )
+        base = base.withColumn("_shard_rn", F.row_number().over(w1)).filter(
+            F.col("_shard_rn") <= k
+        ).drop("_shard_rn")
+        w = Window.partitionBy(F.lit(1)).orderBy(
+            F.col("_aes_key").desc(), F.col(id_col)
+        )
+    else:
+        w = Window.partitionBy(stratum_col).orderBy(
+            F.col("_aes_key").desc(), F.col(id_col)
+        )
     return (
-        docs.filter(F.col(weight_col) > 0)
-        .withColumn("_aes_key", key)
-        .withColumn("_aes_rank", F.row_number().over(w))
+        base.withColumn("_aes_rank", F.row_number().over(w))
         .filter(F.col("_aes_rank") <= k)
         .withColumnRenamed("_aes_key", "aes_key")
         .withColumnRenamed("_aes_rank", "aes_rank")

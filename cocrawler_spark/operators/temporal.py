@@ -71,47 +71,56 @@ def asof_join(
     """
     lid, rid = left_id, right_id
     payload = list(right_payload)
+    rid_type = right.schema[rid].dataType
+    # The matched right row travels as ONE struct (id + payloads), so
+    # the carried tuple is always internally consistent — per-column
+    # last(ignorenulls) would stitch the latest id to an OLDER row's
+    # payload whenever the matched row has a NULL payload value.
+    r_struct = F.struct(
+        F.col(rid).alias("rid"), *[F.col(c).alias(f"p_{c}") for c in payload]
+    )
     l_side = left.select(
         F.col(key).alias("k"),
         F.col(ts).alias("t"),
         F.col(lid).alias("lid"),
-        F.lit(None).cast("long").alias("rid"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"p_{c}") for c in payload],
+        F.lit(None).cast(rid_type).alias("rid"),
+        F.lit(None)
+        .cast(
+            right.select(r_struct.alias("m")).schema["m"].dataType
+        )
+        .alias("m"),
         F.lit(1).alias("side"),
     )
     r_side = right.select(
         F.col(key).alias("k"),
         F.col(ts).alias("t"),
         F.lit(None).cast(left.schema[lid].dataType).alias("lid"),
-        F.col(rid).cast("long").alias("rid"),
-        *[F.col(c).alias(f"p_{c}") for c in payload],
+        F.col(rid).alias("rid"),
+        r_struct.alias("m"),
         F.lit(0).alias("side"),
     )
     # Order within a key: by time, then side (right rows BEFORE left
     # rows at the same instant iff strict=False — i.e. a right row at
     # exactly left.ts is visible only in non-strict mode), then id so
-    # equal-ts right rows resolve to the largest id deterministically.
+    # equal-ts right rows resolve to the largest id deterministically
+    # (left rows carry NULL rid → asc_nulls_first keeps any id type).
     side_rank = F.col("side") if not strict else (1 - F.col("side"))
     w = (
         Window.partitionBy("k")
-        .orderBy(F.col("t"), side_rank, F.coalesce(F.col("rid"), F.lit(-1)))
+        .orderBy(F.col("t"), side_rank, F.col("rid").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carried = [F.last(f"p_{c}", ignorenulls=True).over(w).alias(f"matched_{c}") for c in payload]
+    matched = F.last("m", ignorenulls=True).over(w)
     out = (
         l_side.unionByName(r_side)
-        .select(
-            "k", "t", "lid", "side",
-            F.last("rid", ignorenulls=True).over(w).alias(f"matched_{rid}"),
-            *carried,
-        )
+        .select("k", "t", "lid", "side", matched.alias("_m"))
         .filter(F.col("side") == 1)
         .select(
             F.col("k").alias(key),
             F.col("t").alias(ts),
             F.col("lid").alias(lid),
-            f"matched_{rid}",
-            *[f"matched_{c}" for c in payload],
+            F.col("_m.rid").alias(f"matched_{rid}"),
+            *[F.col(f"_m.p_{c}").alias(f"matched_{c}") for c in payload],
         )
     )
     return out
@@ -136,10 +145,16 @@ def range_join_buckets(
     """All (interval, point) pairs of the same ``key`` with
     start <= point_ts < end, via an equi-join on (key, time-bucket).
 
-    Intervals explode into the buckets they overlap (bounded fan-out
-    for bounded width — pass ``max_width_s`` to assert it); points map
-    to exactly one bucket; the exact half-open range predicate runs
-    post-join. Timestamps are compared at microsecond precision.
+    Intervals explode into the buckets they overlap (fan-out =
+    ceil(width/bucket)+1, so bounded width ⇒ bounded fan-out); points
+    map to exactly one bucket; the exact half-open range predicate
+    runs post-join. Timestamps are compared at microsecond precision.
+
+    ``max_width_s`` EXCLUDES intervals wider than the bound from the
+    join — an explicit guard against unbounded explode fan-out from
+    corrupt/outlier intervals at scale, not an assertion: a wider
+    interval and all its pairs are dropped by contract. Pass ``None``
+    (default) to keep every interval regardless of width.
     """
     us = F.lit(int(bucket_s * 1_000_000))
     p = points.select(

@@ -120,3 +120,28 @@ def test_robots_sitemap_directives_extract(spark):
     df = spark.createDataFrame([(txt,)], ["t"])
     got = df.select(sitemap_urls_col(df["t"]).alias("u")).collect()[0]["u"]
     assert got == ["http://a.test/s1.xml", "http://a.test/s2.xml"]
+
+
+def test_weighted_sample_unstratified_two_phase_matches_direct(spark):
+    # the sharded global top-k must equal a direct sort by the same key
+    rows = [(i, float(1 + i % 9)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    got = sorted(
+        (r["id"], r["aes_rank"])
+        for r in weighted_sample_topk(df, weight_col="w", k=25, id_col="id", seed=5).collect()
+    )
+    # direct: compute the key in-driver with the same formula
+    from cocrawler_spark.functions.text import md5_hash64_col
+    keyed = df.select(
+        "id",
+        (F.log(
+            (F.pmod(md5_hash64_col(F.concat(F.col("id").cast("string"), F.lit(":5"))),
+                    F.lit(1_000_000)) + F.lit(0.5)) / F.lit(1e6)
+        ) / F.col("w")).alias("key"),
+    ).collect()
+    direct = sorted(
+        (r["id"], i + 1)
+        for i, r in enumerate(sorted(keyed, key=lambda r: (-r["key"], r["id"])))
+        if i < 25
+    )
+    assert got == direct

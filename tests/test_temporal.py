@@ -114,7 +114,7 @@ def test_range_join_boundaries(spark):
         assert bad not in plan, plan
 
 
-def test_hypertable_cascade_matches_direct(spark, sf_dir=None):
+def test_hypertable_cascade_matches_direct(spark):
     import random
 
     rnd = random.Random(7)
@@ -192,3 +192,42 @@ def test_containment_catches_subset_doc(spark):
     pairs = ngram_containment_pairs(df, "text", "doc_id", threshold=0.9).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
     assert pairs[0]["containment"] == 1.0  # short fully inside long
+
+
+def test_asof_null_payload_stays_consistent(spark):
+    # matched right row has NULL payload -> matched_value must be NULL
+    # (id+payload travel as one struct; per-column carry-forward would
+    # stitch the newer id to the older row's value)
+    base = _ts("2024-01-01 10:00:00")
+    views = spark.createDataFrame(
+        [(1, base, 1, 7.0), (1, base + dt.timedelta(minutes=5), 2, None)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    clicks = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=10), 9, 0.0)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    r = asof_join(
+        clicks, views, key="user_id", ts="ts",
+        left_id="event_id", right_id="event_id", right_payload=["value"],
+    ).collect()[0]
+    assert r["matched_event_id"] == 2
+    assert r["matched_value"] is None
+
+
+def test_asof_string_right_id(spark):
+    # non-numeric right ids survive (no silent cast-to-long nulling)
+    views = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), "u-a"),
+         (1, _ts("2024-01-01 10:05:00"), "u-b")],
+        "user_id long, ts timestamp, url string",
+    )
+    clicks = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:07:00"), 5)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    r = asof_join(
+        clicks, views, key="user_id", ts="ts",
+        left_id="event_id", right_id="url",
+    ).collect()[0]
+    assert r["matched_url"] == "u-b"
