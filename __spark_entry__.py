@@ -1341,6 +1341,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robots_txt_parse"] = robots_txt_parse
 
+    def robots_wildcard_match(spark, sf):
+        # RFC 9309 wildcard matching (* any-sequence, trailing $ end
+        # anchor) through the same Arrow UDF the engine's robots gate
+        # uses. Rule set is fixed plan literals; the oracle mirrors
+        # each rule as a LIKE test (* → %, trailing $ → no trailing %)
+        # and re-implements most-octets-wins / allow-wins-ties with
+        # GREATEST over per-rule match lengths.
+        from cocrawler_spark.functions.robots import robots_allowed_udf
+
+        o = _t(spark, sf, "orders").select("o_orderkey")
+        k = F.col("o_orderkey")
+        path = F.concat(
+            F.lit("/d"), (k % 5).cast("string"),
+            F.lit("/page"), (k % 7).cast("string"),
+            F.when(k % 2 == 0, F.lit(".html")).otherwise(F.lit(".php")),
+        )
+        allow = F.array(F.lit("/d1/page5"), F.lit("/d2"))
+        disallow = F.array(F.lit("/d1"), F.lit("/d*/page3"), F.lit("*.php$"))
+        return o.select(
+            "o_orderkey",
+            path.alias("path"),
+            robots_allowed_udf()(path, allow, disallow).alias("allowed"),
+        )
+
+    q["robots_wildcard_match"] = robots_wildcard_match
+
+    def sitemap_index_ingest(spark, sf):
+        # Round-trip oracle over the <sitemapindex> nesting level:
+        # parse must invert the deterministic generator (one entry
+        # with lastmod, one without, per source row).
+        from cocrawler_spark.sources.corpus import parse_sitemap_index
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"),
+                        F.lit(".test"))
+        s0 = F.concat(F.lit("http://"), host, F.lit("/sm/"),
+                      F.col("doc_id").cast("string"), F.lit("-a.xml"))
+        s1 = F.concat(F.lit("http://"), host, F.lit("/sm/"),
+                      F.col("doc_id").cast("string"), F.lit("-b.xml"))
+        digit = ((F.col("doc_id") % 9) + 1).cast("string")
+        xml = F.concat(
+            F.lit('<?xml version="1.0"?>\n<sitemapindex>'),
+            F.lit("<sitemap>\n  <loc>  "), s0,
+            F.lit("  </loc>\n  <lastmod>2024-06-0"), digit,
+            F.lit("</lastmod>\n</sitemap>"),
+            F.lit("<sitemap><loc>"), s1, F.lit("</loc></sitemap>"),
+            F.lit("</sitemapindex>"),
+        )
+        out = parse_sitemap_index(d.select("doc_id", xml.alias("xml")))
+        return out.select("doc_id", "sitemap_url", "lastmod")
+
+    q["sitemap_index_ingest"] = sitemap_index_ingest
+
     return q
 
 
@@ -2411,5 +2464,35 @@ SELECT o_orderkey,
        THEN CAST(NULL AS DOUBLE)
        ELSE CAST(o_orderkey % 5 + 1 AS DOUBLE) END AS crawl_delay
 FROM orders"""
+
+    s["robots_wildcard_match"] = """
+WITH p AS (
+  SELECT o_orderkey,
+         '/d' || CAST(o_orderkey % 5 AS VARCHAR)
+          || '/page' || CAST(o_orderkey % 7 AS VARCHAR)
+          || CASE WHEN o_orderkey % 2 = 0 THEN '.html' ELSE '.php' END AS path
+  FROM orders),
+m AS (
+  SELECT o_orderkey, path,
+    GREATEST(CASE WHEN path LIKE '/d1/page5%' THEN 9 ELSE -1 END,
+             CASE WHEN path LIKE '/d2%'       THEN 3 ELSE -1 END) AS a,
+    GREATEST(CASE WHEN path LIKE '/d1%'       THEN 3 ELSE -1 END,
+             CASE WHEN path LIKE '/d%/page3%' THEN 9 ELSE -1 END,
+             CASE WHEN path LIKE '%.php'      THEN 6 ELSE -1 END) AS d
+  FROM p)
+SELECT o_orderkey, path, a >= d AS allowed FROM m"""
+
+    s["sitemap_index_ingest"] = """
+SELECT doc_id,
+       'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.test/sm/'
+         || CAST(doc_id AS VARCHAR) || '-a.xml' AS sitemap_url,
+       '2024-06-0' || CAST(doc_id % 9 + 1 AS VARCHAR) AS lastmod
+FROM documents
+UNION ALL
+SELECT doc_id,
+       'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.test/sm/'
+         || CAST(doc_id AS VARCHAR) || '-b.xml',
+       CAST(NULL AS VARCHAR)
+FROM documents"""
 
     return s

@@ -6,18 +6,43 @@ Engine-side, the cache is the `robots` state table (TTL measured in
 waves) and per-host fetch dedup is structural — a distinct() on host
 before joining the robots source (SURVEY.md §2a).
 
-Matching rule (Google REP semantics, simplified to prefix rules as in
-FIXTURES.md §3): among all `allow` and `disallow` prefixes that match
-the path, the LONGEST match wins; tie goes to allow; no match ⇒ allowed.
+Matching rule (RFC 9309 / Google REP semantics): among all `allow`
+and `disallow` rules that match the path, the MOST SPECIFIC (longest,
+in octets, wildcards counted) wins; tie goes to allow; no match ⇒
+allowed. Rules are path prefixes, with two special characters per
+RFC 9309 §2.2.3: `*` matches any character sequence and a TRAILING
+`$` anchors the rule to the end of the path (a `$` anywhere else is
+a literal). Plain prefix rules take a fast startswith path; wildcard
+rules compile once per distinct rule (robots rule sets are tiny and
+shared by every URL of a host, so the cache hit rate is ~100%).
 """
 
 from __future__ import annotations
 
+import re
+from functools import lru_cache
 from typing import Iterable, Optional
 
 import pandas as pd
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
+
+
+@lru_cache(maxsize=8192)
+def _rule_regex(rule: str) -> "re.Pattern":
+    """Compile a wildcard robots rule to an anchored-at-start regex.
+    `*` → `.*`; trailing `$` → end anchor; everything else literal."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    pat = ".*".join(re.escape(part) for part in body.split("*"))
+    return re.compile(pat + ("$" if anchored else ""))
+
+
+def _rule_matches(path: str, rule: str) -> bool:
+    if "*" in rule or rule.endswith("$"):
+        return _rule_regex(rule).match(path) is not None
+    return path.startswith(rule)
 
 
 def robots_allowed_py(
@@ -27,12 +52,15 @@ def robots_allowed_py(
 ) -> bool:
     best_len = -1
     best_allow = True
-    for rule in disallow or []:
-        if rule and path.startswith(rule) and len(rule) > best_len:
+    # explicit None checks: Arrow hands array columns to the UDF as
+    # numpy arrays, whose truth value (`x or []`) is ambiguous for >1
+    # elements — iterate the container directly instead
+    for rule in disallow if disallow is not None else ():
+        if rule and len(rule) > best_len and _rule_matches(path, rule):
             best_len = len(rule)
             best_allow = False
-    for rule in allow or []:
-        if rule and path.startswith(rule) and len(rule) >= best_len:
+    for rule in allow if allow is not None else ():
+        if rule and len(rule) >= best_len and _rule_matches(path, rule):
             best_len = len(rule)
             best_allow = True
     return best_allow

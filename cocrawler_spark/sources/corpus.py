@@ -73,3 +73,36 @@ def parse_sitemaps(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         )
         .filter(F.col("url") != "")
     )
+
+
+def parse_sitemap_index(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Sitemap INDEX ingestion: explode each ``<sitemapindex>`` XML
+    document into one row per nested ``<sitemap>`` entry with its
+    ``<loc>`` (required, trimmed) and ``<lastmod>`` (NULL when absent).
+
+    The nesting recursion is: parse_sitemap_index → fetch each loc →
+    parse_sitemaps (urlset leaves). Sitemap indexes are capped at
+    50 000 entries per file by the protocol, so the explode fan-out is
+    bounded; like parse_sitemaps this is a map-only JVM regex chain —
+    zero shuffles, whole-stage codegen throughout. Entries with an
+    empty ``<loc>`` are dropped; non-xml columns pass through.
+    """
+    passthrough = [c for c in df.columns if c != xml_col]
+    blocks = df.select(
+        *passthrough,
+        F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit(r"(?s)<sitemap>(.*?)</sitemap>"), 1
+            )
+        ).alias("_blk"),
+    )
+    loc = F.regexp_extract("_blk", r"(?s)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract("_blk", r"<lastmod>\s*([^<\s]+)\s*</lastmod>", 1)
+    return (
+        blocks.select(
+            *passthrough,
+            loc.alias("sitemap_url"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )

@@ -189,6 +189,23 @@ def generate(size: str = "small", seed: int = 42) -> SynthWeb:
             rules["disallow"] = [f"/p/{rng.randrange(3)}"]
         web.robots[h] = rules
 
+    # One host carries RFC 9309 wildcard rules (* and trailing $) so the
+    # wildcard matcher is exercised on every synthetic web. Applied as a
+    # deterministic post-pass with ZERO rng draws, so the random stream —
+    # and therefore every other table (docs, seeds) — is byte-identical
+    # to the wildcard-free generator. Engine and simulator share
+    # robots_allowed_py, so engine/sim equality holds by construction.
+    if n_hosts >= 5:
+        wh = hosts[4]
+        ent = web.robots.setdefault(
+            wh,
+            {"crawl_delay": 1.0, "ttl_waves": 3, "disallow": [], "allow": []},
+        )
+        # blocks /p/1, /p/11, /p/21, ... exactly (trailing anchor); the
+        # longer allow rule re-admits /p/*11 (e.g. /p/11, /p/211)
+        ent["disallow"] = list(ent["disallow"]) + ["/p/*1$"]
+        ent["allow"] = list(ent["allow"]) + ["/p/*11$"]
+
     # seeds: messy variants of real URLs
     n_seeds = 3 if n_docs <= 60 else 25
     pool = [u for u in all_urls if u in web.docs]

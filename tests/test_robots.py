@@ -22,6 +22,33 @@ def test_longest_prefix_matrix(path, allow, disallow, expected):
     assert robots_allowed_py(path, allow, disallow) is expected
 
 
+@pytest.mark.parametrize(
+    "path,allow,disallow,expected",
+    [
+        # '*' matches any sequence (including empty)
+        ("/a/x/b", [], ["/a/*/b"], False),
+        ("/a//b", [], ["/a/*/b"], False),
+        ("/a/b", [], ["/a*b"], False),          # '*' can match empty
+        ("/a/x/c", [], ["/a/*/b"], True),
+        ("/img/pic.jpg", [], ["*.jpg$"], False),  # leading wildcard + anchor
+        ("/img/pic.jpg?x", [], ["*.jpg$"], True),  # anchor: no trailing junk
+        ("/img/pic.jpg?x", [], ["*.jpg"], False),  # no anchor: prefix match
+        # trailing '$' anchors; '$' elsewhere is literal
+        ("/p/1", [], ["/p/1$"], False),
+        ("/p/10", [], ["/p/1$"], True),
+        ("/a$b/c", [], ["/a$b"], False),
+        # specificity counts octets of the RULE, wildcards included:
+        # allow '/p/*11$' (7) beats disallow '/p/*1$' (6) on /p/11
+        ("/p/11", ["/p/*11$"], ["/p/*1$"], True),
+        ("/p/21", ["/p/*11$"], ["/p/*1$"], False),
+        # equal length → allow wins
+        ("/p/ab", ["/p/a*"], ["/p/*b"], True),
+    ],
+)
+def test_wildcard_matrix(path, allow, disallow, expected):
+    assert robots_allowed_py(path, allow, disallow) is expected
+
+
 # ---------------------------------------------------------------------------
 # robots.txt TEXT parser (REP group selection)
 # ---------------------------------------------------------------------------

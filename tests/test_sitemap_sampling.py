@@ -40,6 +40,33 @@ def test_parse_sitemaps_edges(spark):
     assert all(r["sm_id"] == "s1" for r in rows.values())
 
 
+def test_parse_sitemap_index_edges(spark):
+    from cocrawler_spark.sources.corpus import parse_sitemap_index
+
+    xml = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://a.test/s1.xml</loc><lastmod>2024-02-03</lastmod></sitemap>
+  <sitemap>
+    <loc>
+      http://a.test/s2.xml
+    </loc>
+  </sitemap>
+  <sitemap><loc></loc></sitemap>
+  <sitemap><lastmod>2024-01-01</lastmod></sitemap>
+</sitemapindex>"""
+    df = spark.createDataFrame([("i1", xml)], ["src", "xml"])
+    rows = {r["sitemap_url"]: r for r in parse_sitemap_index(df).collect()}
+    assert set(rows) == {"http://a.test/s1.xml", "http://a.test/s2.xml"}
+    assert rows["http://a.test/s1.xml"]["lastmod"] == "2024-02-03"
+    assert rows["http://a.test/s2.xml"]["lastmod"] is None
+    assert all(r["src"] == "i1" for r in rows.values())
+    # urlset leaves are NOT index entries
+    leaf = '<urlset><url><loc>http://a.test/p</loc></url></urlset>'
+    assert parse_sitemap_index(
+        spark.createDataFrame([("x", leaf)], ["src", "xml"])
+    ).count() == 0
+
+
 def test_weighted_sample_proportional_and_deterministic(spark):
     # 200 heavy docs (w=50) + 800 light (w=1): heavy docs should
     # dominate a k=100 draw (each heavy doc ~50x the inclusion odds).
