@@ -660,6 +660,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pipeline_decon"] = train_pipeline_decon
 
+    def train_pipeline_clf(spark, sf):
+        """train_pipeline plus the model-based quality gate: hashed
+        linear classifier inference over the gate survivors (map-only;
+        the threshold drops the low-scoring half-ish of survivors)."""
+        from cocrawler_spark.plans.pipeline import train_data_pipeline
+
+        d = _ts(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        return train_data_pipeline(
+            d, text_col="text", id_col="id",
+            minhash_k=8, bands=4, shingle_n=3, max_bucket=1024,
+            min_tokens=5, min_alpha_ratio=0.5, min_stopword_ratio=0.0,
+            langs=("en",), classifier_threshold=0.45,
+        )
+
+    q["train_pipeline_clf"] = train_pipeline_clf
+
     def train_pipeline_incr(spark, sf):
         """Stateful per-batch pipeline (first-seen wins across batches,
         min-id within a batch): documents split into two deterministic
@@ -1394,6 +1412,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_index_ingest"] = sitemap_index_ingest
 
+    def seen_cuckoo_prefilter(spark, sf):
+        # URL-seen dedup through the CUCKOO sidecar (state/cuckoo.py):
+        # build the partitioned fingerprint filter over the seen set,
+        # cogroup-probe the candidates, send only probe-positives to
+        # the exact anti-join. The final survivor set is EXACTLY the
+        # plain anti-join result (negatives are guaranteed-unseen,
+        # false positives are rechecked) — which is what the oracle
+        # states in SQL; the probabilistic layer is invisible by
+        # construction, the fail-safe property under test.
+        from cocrawler_spark.state.cuckoo import build_cuckoo_delta, probe_cuckoo
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        surt = F.concat(
+            F.lit("test,h"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(")/p/"), F.col("doc_id").cast("string"),
+        )
+        seen = d.filter(F.col("doc_id") % 3 != 0).select(surt.alias("surt"))
+        cand = d.select("doc_id", surt.alias("surt"))
+        filt = build_cuckoo_delta(seen, wave=1, num_buckets=8)
+        probed = probe_cuckoo(cand, filt, 8)
+        sure_new = probed.filter(~F.col("_maybe")).drop("_maybe")
+        maybe = probed.filter(F.col("_maybe")).drop("_maybe")
+        checked = maybe.join(seen, "surt", "left_anti")
+        return sure_new.unionByName(checked).select("doc_id", "surt")
+
+    q["seen_cuckoo_prefilter"] = seen_cuckoo_prefilter
+
+    def text_quality_classifier(spark, sf):
+        # fasttext-style hashed-linear quality-classifier INFERENCE:
+        # tokens → md5 hashing trick → weight lookup → mean → sigmoid,
+        # all inside the row (map-only, zero shuffles — scores at scan
+        # speed, which is why production pipelines run a linear model
+        # in the hot filter path). Weights are the documented
+        # deterministic stand-in; the oracle recomputes the identical
+        # fold in DuckDB list lambdas.
+        from cocrawler_spark.operators.curation import hashed_linear_score
+
+        d = _ts(spark, sf, "documents").select("doc_id", "text")
+        return hashed_linear_score(d, dim=256, seed=3).select(
+            "doc_id", "quality_score"
+        )
+
+    q["text_quality_classifier"] = text_quality_classifier
+
     return q
 
 
@@ -1729,7 +1791,8 @@ SELECT doc_id, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang_pred FROM m"
     # gates, composed from the same CTE pieces the individual
     # dedup/text oracles use
     def _train_pipeline_sql(
-        embed: bool, neardup: str = "pairwise", decon: bool = False
+        embed: bool, neardup: str = "pairwise", decon: bool = False,
+        clf: bool = False,
     ) -> str:
         # losers CTE: pairwise = docs paired with a smaller id;
         # components = every non-root member of a connected component
@@ -1781,6 +1844,11 @@ surv_d AS (SELECT * FROM surv
         src_filter = "WHERE doc_id % 97 <> 0 " if decon else ""
         gate_src = "surv_d" if decon else ("surv2" if embed else "surv")
         recursive = "RECURSIVE " if neardup == "components" else ""
+        from cocrawler_spark.operators.curation import hashed_linear_score_sql
+
+        _clf = hashed_linear_score_sql("text", dim=256, seed=3)
+        clf_sel = f",\n       {_clf} AS quality_score" if clf else ""
+        clf_where = f"\n  AND {_clf} >= 0.45" if clf else ""
         return f"""
 WITH {recursive}reps AS (
   SELECT MIN(doc_id) AS doc_id, MIN(text) AS text FROM documents {src_filter}GROUP BY md5(text)
@@ -1806,15 +1874,16 @@ g AS (
     list_max([{_langid_structs()}]) AS mx
   FROM t)
 SELECT id, text, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang,
-       n_tokens, alpha_ratio, stopword_ratio
+       n_tokens, alpha_ratio, stopword_ratio{clf_sel}
 FROM g
 WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
-  AND (CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END) IN ('en')"""
+  AND (CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END) IN ('en'){clf_where}"""
 
     s["train_pipeline"] = _train_pipeline_sql(embed=False)
     s["train_pipeline_embed"] = _train_pipeline_sql(embed=True)
     s["train_pipeline_cc"] = _train_pipeline_sql(embed=False, neardup="components")
     s["train_pipeline_decon"] = _train_pipeline_sql(embed=False, decon=True)
+    s["train_pipeline_clf"] = _train_pipeline_sql(embed=False, clf=True)
 
     def _incr_pipeline_sql() -> str:
         """Two-batch unrolled twin of train_data_pipeline_incremental
@@ -2493,6 +2562,18 @@ SELECT doc_id,
        'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.test/sm/'
          || CAST(doc_id AS VARCHAR) || '-b.xml',
        CAST(NULL AS VARCHAR)
+FROM documents"""
+
+    s["seen_cuckoo_prefilter"] = """
+SELECT doc_id,
+       'test,h' || CAST(doc_id % 40 AS VARCHAR) || ')/p/'
+         || CAST(doc_id AS VARCHAR) AS surt
+FROM documents WHERE doc_id % 3 = 0"""
+
+    from cocrawler_spark.operators.curation import hashed_linear_score_sql
+
+    s["text_quality_classifier"] = f"""
+SELECT doc_id, {hashed_linear_score_sql('text', dim=256, seed=3)} AS quality_score
 FROM documents"""
 
     return s

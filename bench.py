@@ -57,6 +57,9 @@ HEADLINE = [
     "temporal_range_join",
     "temporal_hypertable_rollup",
     "temporal_recrawl_schedule",
+    "seen_cuckoo_prefilter",
+    "robots_wildcard_match",
+    "text_quality_classifier",
 ]
 
 

@@ -422,3 +422,85 @@ def weighted_sample_key_sql(id_expr: str, weight_expr: str, seed: int = 0) -> st
         f" / {float(SAMPLE_DENOM)}"
     )
     return f"ln({u}) / ({weight_expr})"
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality-classifier inference (fasttext-style)
+# ---------------------------------------------------------------------------
+
+def hashed_linear_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    dim: int = 1024,
+    seed: int = 0,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Model-based quality scoring: linear-classifier INFERENCE over
+    hashing-trick bag-of-words features (the fasttext/CCNet/FineWeb
+    quality-filter shape), as a pure JVM expression chain.
+
+    score = sigmoid(4 * mean_t w[h(t) mod dim] + bias)
+
+    Each token hashes to one of ``dim`` buckets (md5, portable) and
+    looks up a weight; the doc logit is the mean token weight. The
+    whole thing is tokens → transform → aggregate INSIDE the row —
+    map-only, ZERO shuffles, whole-stage codegen: at 10^10 docs this
+    scores at scan speed, which is the entire point of running a
+    linear model instead of a neural scorer in the hot filter path.
+
+    Weights here are a deterministic pseudo-random stand-in
+    (w[b] ∈ [-1, 1], md5-derived — no trained artifact exists in this
+    environment). A production deployment swaps in trained weights as
+    either plan literals (dim ≲ 64k: a CASE/array literal) or a
+    broadcast (bucket, weight) dim-table join after exploding tokens —
+    the hash/feature plumbing and the scan-speed property are what
+    this operator pins. Adds ``quality_score`` (rounded 6 dp,
+    deterministic: per-row sequential float fold, same order as the
+    DuckDB twin's list_aggregate).
+    """
+    toks = tokens_col(F.col(text_col))
+
+    def _weight(t):
+        bucket = F.pmod(
+            md5_hash64_col(F.concat(t, F.lit(f"#{seed}"))), F.lit(dim)
+        )
+        return (
+            F.pmod(
+                md5_hash64_col(
+                    F.concat(F.lit(f"w{seed}#"), bucket.cast("string"))
+                ),
+                F.lit(2001),
+            )
+            - F.lit(1000)
+        ) / F.lit(1000.0)
+
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + _weight(t)
+    )
+    n = F.size(toks)
+    mean = F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    logit = mean * F.lit(4.0) + F.lit(float(bias))
+    return docs.withColumn(
+        "quality_score",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6),
+    )
+
+
+def hashed_linear_score_sql(
+    text_expr: str, dim: int = 1024, seed: int = 0, bias: float = 0.0
+) -> str:
+    """DuckDB twin of hashed_linear_score's quality_score column."""
+    from ..functions.text import md5_hash64_sql, tokens_sql
+
+    bucket = md5_hash64_sql(f"tk || '#{seed}'") + f" % {dim}"
+    w = (
+        f"(({md5_hash64_sql(f''''w{seed}#' || CAST(({bucket}) AS VARCHAR)''')})"
+        f" % 2001 - 1000) / 1000.0"
+    )
+    toks = tokens_sql(text_expr)
+    mean = (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"list_aggregate(list_transform({toks}, tk -> ({w})), 'sum')"
+        f" / len({toks}) ELSE 0.0 END"
+    )
+    return f"ROUND(1.0 / (1.0 + exp(-(({mean}) * 4.0 + {float(bias)}))), 6)"

@@ -92,6 +92,7 @@ class CrawlEngine:
         seeds: DataFrame,
         state_dir: str,
         use_bloom: bool = True,
+        seen_filter: str = "bloom",
         bloom_buckets: int = 64,
         bloom_compact_every: int = 4,
         bloom_min_seen: int = 100_000,
@@ -162,6 +163,17 @@ class CrawlEngine:
         self.robots_src = robots_src
         self.seeds = seeds
         self.use_bloom = use_bloom
+        # Which probabilistic seen-filter sidecar backs the prefilter:
+        # "bloom" (default — the seen set only grows mid-crawl) or
+        # "cuckoo" (state/cuckoo.py — supports DELETE, for deployments
+        # that expire seen entries on recrawl schedules). Both share
+        # the state-table name "bloom" (the seen-filter sidecar slot),
+        # the bucket routing, the probe cogroup shape, and the
+        # fail-safe direction; the manifest records kind + format and
+        # resume() rebuilds from the exact seen table on any mismatch.
+        if seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError(f"seen_filter must be bloom|cuckoo, got {seen_filter!r}")
+        self.seen_filter = seen_filter
         self.bloom_buckets = bloom_buckets
         self.bloom_compact_every = bloom_compact_every
         # Probe engagement threshold. The bloom probe's job is to spare
@@ -492,7 +504,7 @@ class CrawlEngine:
             and self.bloom is not None
             and self.seen_total >= self.bloom_min_seen
         ):
-            from ..state.bloom import probe_bloom
+            _, _, probe_filter, _, _ = self._filter_fns()
 
             # Materialize the candidate chain ONCE before the probe: the
             # slim probe references `deduped` twice (the (host_bucket,
@@ -506,7 +518,7 @@ class CrawlEngine:
             deduped.count()
             _t0 = self._ckpt(wave, "cand:chain", _t0)
             probed = self._persist(
-                probe_bloom(deduped, self.bloom, self.bloom_buckets)
+                probe_filter(deduped, self.bloom, self.bloom_buckets)
             )
             # Materialization barrier. `probed` caps the wave's most
             # expensive chain (canonicalize 10^7 links → dedup window →
@@ -553,9 +565,9 @@ class CrawlEngine:
             lineage=True,
         )
         if self.use_bloom:
-            from ..state.bloom import build_bloom_delta, compact_bloom
+            build_delta, compact_filter, _, _, _ = self._filter_fns()
 
-            delta = build_bloom_delta(new_rows, wave, self.bloom_buckets)
+            delta = build_delta(new_rows, wave, self.bloom_buckets)
             if self._bloom_force_full or (
                 wave > 0
                 and self.bloom_compact_every
@@ -567,7 +579,7 @@ class CrawlEngine:
                 )
                 self._stage_async(
                     "bloom",
-                    compact_bloom(bloom_all, self.bloom_buckets, wave),
+                    compact_filter(bloom_all, self.bloom_buckets, wave),
                     wave,
                     mode="full",
                 )
@@ -616,6 +628,34 @@ class CrawlEngine:
             if paths:
                 self.bloom = self.spark.read.parquet(*paths)
 
+    def _filter_fns(self):
+        """(build_delta, compact, probe, manifest_format_key,
+        format_version) for the configured seen-filter kind — bloom and
+        cuckoo sidecars are signature-compatible by construction."""
+        if self.seen_filter == "cuckoo":
+            from ..state.cuckoo import (
+                CUCKOO_FORMAT_VERSION,
+                build_cuckoo_delta,
+                compact_cuckoo,
+                probe_cuckoo,
+            )
+
+            return (
+                build_cuckoo_delta, compact_cuckoo, probe_cuckoo,
+                "cuckoo_format", CUCKOO_FORMAT_VERSION,
+            )
+        from ..state.bloom import (
+            BLOOM_FORMAT_VERSION,
+            build_bloom_delta,
+            compact_bloom,
+            probe_bloom,
+        )
+
+        return (
+            build_bloom_delta, compact_bloom, probe_bloom,
+            "bloom_format", BLOOM_FORMAT_VERSION,
+        )
+
     def _anti_seen(self, cand: DataFrame) -> DataFrame:
         """cand rows whose surt is NOT in the seen table.
 
@@ -660,7 +700,14 @@ class CrawlEngine:
         return paths
 
     def _seen_paths(self, up_to_wave: int) -> list[str]:
-        return self._table_dirs("seen", up_to_wave)
+        paths = self._table_dirs("seen", up_to_wave)
+        # a 'full' version (recrawl expiry rewrite) supersedes all
+        # earlier deltas — without this cut, pre-expiry delta dirs
+        # would silently resurrect expired surts on the next refresh
+        fulls = [i for i, d in enumerate(paths) if d.endswith("-full")]
+        if fulls:
+            paths = paths[fulls[-1]:]
+        return paths
 
     # ------------------------------------------------------------- wave 0 seeds
 
@@ -1213,8 +1260,6 @@ class CrawlEngine:
             # staged_rows raises if lineage is missing — a silent 0 here
             # would terminate the crawl early (ADVICE r1).
             n_next = self.catalog.staged_rows("frontier")
-        from ..state.bloom import BLOOM_FORMAT_VERSION
-
         extra = {
             "total_fetched": self.total_fetched,
             "seen_total": self.seen_total,
@@ -1226,10 +1271,13 @@ class CrawlEngine:
             "config": self.cfg.to_dict(),
         }
         if self.use_bloom:
-            # bucket-routing version of the bitmaps this snapshot holds;
-            # resume() refuses to probe bitmaps written under another
-            # routing (false negatives would bypass the exact anti-join)
-            extra["bloom_format"] = BLOOM_FORMAT_VERSION
+            # filter kind + routing/format version of the sidecar this
+            # snapshot holds; resume() refuses to probe filters written
+            # under another kind or routing (false negatives would
+            # bypass the exact anti-join) and rebuilds from `seen`
+            _, _, _, fmt_key, fmt_ver = self._filter_fns()
+            extra["seen_filter"] = self.seen_filter
+            extra[fmt_key] = fmt_ver
         self._base_manifest = self.catalog.commit(
             wave, extra, base=self._base_manifest
         )
@@ -1337,23 +1385,25 @@ class CrawlEngine:
         )
         self.dns_cache = self.catalog.load("dns_cache", m)
         if self.use_bloom:
-            from ..state.bloom import BLOOM_FORMAT_VERSION, build_bloom_delta
+            build_delta, _, _, fmt_key, fmt_ver = self._filter_fns()
 
-            fmt = int(m.get("bloom_format", 1))
-            if fmt == BLOOM_FORMAT_VERSION:
+            fmt = int(m.get(fmt_key, 1 if fmt_key == "bloom_format" else -1))
+            stored_kind = m.get("seen_filter", "bloom")
+            if fmt == fmt_ver and stored_kind == self.seen_filter:
                 self.bloom = self.catalog.load("bloom", m)
             else:
-                # Snapshot bitmaps were built under a different bucket
-                # routing: probing them would yield false negatives, and
-                # bloom negatives skip the exact anti-join — a resumed
-                # crawl would re-admit seen URLs. Rebuild the filter from
-                # the exact seen table (one pass over `seen`, partition-
-                # parallel) and force a full bloom write next wave so
-                # later resumes load current-format bitmaps directly.
+                # Snapshot filters were built under a different kind or
+                # bucket routing: probing them would yield false
+                # negatives, and filter negatives skip the exact
+                # anti-join — a resumed crawl would re-admit seen URLs.
+                # Rebuild the filter from the exact seen table (one pass
+                # over `seen`, partition-parallel) and force a full
+                # sidecar write next wave so later resumes load
+                # current-kind/format filters directly.
                 self.bloom = (
                     None
                     if self.seen is None
-                    else build_bloom_delta(
+                    else build_delta(
                         self.seen.select("surt"), int(m["wave"]), self.bloom_buckets
                     )
                 )
@@ -1372,7 +1422,166 @@ class CrawlEngine:
             wave += 1
         return wave - 1
 
+    # ------------------------------------------------------------- recrawl expiry
+
+    def expire_seen(
+        self,
+        expired: DataFrame,
+        readmit: bool = True,
+        readmit_depth: Optional[int] = None,
+    ) -> int:
+        """Recrawl expiry: remove ``expired`` surts (a `surt` column)
+        from the committed seen state so those URLs become fetchable
+        again — the revisit half of recrawl scheduling
+        (operators/temporal.py:recrawl_schedule estimates the intervals;
+        this applies them). Call BETWEEN runs on a committed snapshot;
+        continue with ``resume()`` afterwards.
+
+        Effects, published as one atomic snapshot at wave+1:
+        - ``seen`` is rewritten FULL as seen ∖ expired (the exact table
+          is ground truth; deltas before the full version are
+          superseded by the manifest and by _seen_paths).
+        - the sidecar filter: cuckoo → exact per-fingerprint DELETE
+          (state/cuckoo.py:delete_cuckoo — the reason the cuckoo kind
+          exists); bloom → rebuilt from the new seen table (bitmaps
+          cannot unset bits).
+        - ``readmit=True`` re-enqueues the expired URLs that this crawl
+          actually fetched onto the frontier (priority=seed_priority,
+          via='recrawl'), so the next ``resume()`` re-fetches them
+          under the normal politeness/budget machinery. They re-enter
+          at ``readmit_depth`` (default ``cfg.max_depth``): re-FETCH
+          only — their outlinks are depth-gated, so a recrawl refreshes
+          known pages without re-expanding the frontier around them.
+          Pass ``readmit_depth=0`` to re-expand (recrawl-as-seed: a
+          re-fetched page's links, e.g. ones depth-gated in the
+          original crawl, become candidates again). Readmitted
+          surts STAY in ``seen`` (the frontier ⊆ seen invariant:
+          enqueue-time insertion is what dedups organic re-discovery —
+          forgetting a surt that is simultaneously back on the frontier
+          would let a later parsed link enqueue it a third time); only
+          expired surts with nothing to readmit are forgotten. With
+          ``readmit=False`` ALL expired surts are forgotten and re-enter
+          only when a future parse re-discovers a link to them.
+
+        Returns the number of surts actually removed from ``seen``.
+        """
+        m = self.catalog.latest_manifest()
+        if m is None:
+            raise RuntimeError("expire_seen: no committed snapshot to expire from")
+        exp_wave = int(m["wave"]) + 1
+        expired_s = expired.select("surt").distinct()
+
+        # readmittable = expired surts this crawl actually fetched
+        hit = None
+        if readmit:
+            fc = self.catalog.load("fetched_content", m)
+            if fc is not None:
+                hit = (
+                    fc.join(expired_s, "surt")
+                    .groupBy("surt")
+                    .agg(F.max("url").alias("url"))
+                )
+        # forget only what is NOT being re-enqueued
+        removed_s = (
+            expired_s if hit is None
+            else expired_s.join(hit.select("surt"), "surt", "left_anti")
+        )
+
+        seen_cur = self.catalog.load("seen", m)
+        seen_new = seen_cur.join(removed_s, "surt", "left_anti")
+        self.catalog.stage("seen", seen_new, exp_wave, mode="full", lineage=True)
+        seen_total_new = self.catalog.staged_rows("seen")
+        removed = int(m.get("seen_total", 0)) - seen_total_new
+
+        if self.use_bloom:
+            build_delta, _, _, fmt_key, fmt_ver = self._filter_fns()
+            filt_cur = self.catalog.load("bloom", m)
+            if (
+                self.seen_filter == "cuckoo"
+                and filt_cur is not None
+                and m.get("seen_filter") == "cuckoo"
+                and int(m.get(fmt_key, -1)) == fmt_ver
+            ):
+                from ..state.cuckoo import delete_cuckoo
+
+                new_filt = delete_cuckoo(
+                    filt_cur, removed_s, self.bloom_buckets, exp_wave
+                )
+            else:
+                # bloom (or kind/format drift): rebuild from exact seen
+                new_filt = build_delta(
+                    seen_new.select("surt"), exp_wave, self.bloom_buckets
+                )
+            self.catalog.stage("bloom", new_filt, exp_wave, mode="full")
+
+        n_readmit = 0
+        frontier_new = self.catalog.load("frontier", m)
+        if hit is not None:
+            from ..functions.domains import registered_domain_udf
+
+            host = F.regexp_extract("url", r"^[a-z0-9+.-]+://([^/]+)", 1)
+            path = F.regexp_extract("url", r"^[a-z0-9+.-]+://[^/]*(/.*)$", 1)
+            rows = hit.select(
+                "url",
+                "surt",
+                host.alias("host"),
+                F.when(path == "", "/").otherwise(path).alias("path"),
+                F.lit(self.cfg.seed_priority).alias("priority"),
+                F.lit(
+                    int(
+                        self.cfg.max_depth
+                        if readmit_depth is None
+                        else readmit_depth
+                    )
+                ).alias("depth"),
+                F.lit(0).alias("tries"),
+                F.lit(False).alias("is_seed"),
+                F.lit("recrawl").alias("via"),
+            )
+            rows = rows.withColumn(
+                "domain", registered_domain_udf()(F.col("host"))
+            ).select(*FRONTIER_COLS)
+            if frontier_new is None:
+                frontier_new = rows
+            else:
+                frontier_new = frontier_new.select(*FRONTIER_COLS).unionByName(
+                    rows.join(frontier_new, "surt", "left_anti")
+                )
+        if frontier_new is not None:
+            self.catalog.stage(
+                "frontier", frontier_new, exp_wave, mode="full", lineage=True
+            )
+            n_readmit = self.catalog.staged_rows("frontier")
+
+        extra = {
+            "total_fetched": int(m.get("total_fetched", 0)),
+            "seen_total": seen_total_new,
+            "done": n_readmit == 0,
+            "config": self.cfg.to_dict(),
+            "expired": removed,
+        }
+        if self.use_bloom:
+            _, _, _, fmt_key, fmt_ver = self._filter_fns()
+            extra["seen_filter"] = self.seen_filter
+            extra[fmt_key] = fmt_ver
+        self._base_manifest = self.catalog.commit(exp_wave, extra, base=m)
+        self.seen_total = seen_total_new
+        return removed
+
     # ---------------------------------------------------------------- outputs
 
     def output(self, name: str) -> Optional[DataFrame]:
         return self.catalog.load(name)
+
+    def output_at(self, name: str, wave: int) -> Optional[DataFrame]:
+        """Time-travel read: `name` as of snapshot `wave` (the Iceberg
+        snapshot-read analog). Every commit is an immutable manifest of
+        immutable parquet versions, so any historical table state stays
+        addressable — e.g. `output_at("seen", 2)` is the seen set the
+        moment wave 2 committed, regardless of later waves, expiries,
+        or compactions. Returns None if the wave never committed or the
+        table did not exist yet."""
+        m = self.catalog.manifest_at(wave)
+        if m is None:
+            return None
+        return self.catalog.load(name, m)

@@ -74,6 +74,9 @@ def train_data_pipeline(
     neardup: str = "pairwise",
     eval_docs: Optional[DataFrame] = None,
     eval_text_col: str = "text",
+    classifier_threshold: Optional[float] = None,
+    classifier_dim: int = 256,
+    classifier_seed: int = 3,
 ) -> DataFrame:
     """(id, text) → surviving train-ready docs with their gate columns.
 
@@ -149,6 +152,17 @@ def train_data_pipeline(
         & (F.col("stopword_ratio") >= min_stopword_ratio)
         & (F.col("lang").isin(*langs))
     )
+
+    # 5. optional model-based quality gate: hashed-linear classifier
+    # inference (operators/curation.py:hashed_linear_score — map-only,
+    # zero shuffles, so this gate is free at plan level); survivors
+    # carry their quality_score
+    if classifier_threshold is not None:
+        from ..operators.curation import hashed_linear_score
+
+        gated = hashed_linear_score(
+            gated, text_col="text", dim=classifier_dim, seed=classifier_seed
+        ).filter(F.col("quality_score") >= float(classifier_threshold))
     return gated
 
 

@@ -22,6 +22,40 @@ def read_robots_src(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def robots_src_from_txt(
+    df: DataFrame,
+    txt_col: str = "robots_txt",
+    host_col: str = "host",
+    agent: str = "cocrawler",
+    default_ttl_waves: int = 3,
+) -> DataFrame:
+    """Raw per-host robots.txt bodies → the structured robots_src
+    schema the engine's broadcast robots join consumes
+    (host, crawl_delay, ttl_waves, allow, disallow).
+
+    The parse is the full REP text parser
+    (functions/robots.py:parse_robots_txt_udf — RFC 9309 group
+    selection for ``agent``), Arrow-batched over |hosts| rows — never
+    |urls|. ``ttl_waves`` is an engine scheduling knob with no REP
+    wire form, so every parsed row gets ``default_ttl_waves`` (a real
+    deployment would derive it from HTTP cache headers at fetch time).
+    Engine-equality of text-parsed vs structured robots is pinned in
+    tests/test_engine_oracle.py."""
+    from ..functions.robots import parse_robots_txt_udf
+
+    parsed = df.select(
+        F.col(host_col).alias("host"),
+        parse_robots_txt_udf(agent)(F.col(txt_col)).alias("r"),
+    )
+    return parsed.select(
+        "host",
+        F.col("r.crawl_delay").alias("crawl_delay"),
+        F.lit(int(default_ttl_waves)).cast("int").alias("ttl_waves"),
+        F.col("r.allow").alias("allow"),
+        F.col("r.disallow").alias("disallow"),
+    )
+
+
 def read_seed_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).select("url")
 

@@ -314,3 +314,47 @@ def test_tfidf_top_terms(spark):
     # doc 2: cherry (tf1, ln3) vs banana (tf1, ln1.5): cherry wins
     assert got[(2, 1)][0] == "cherry" and got[(2, 2)][0] == "banana"
     assert all(r["rank"] <= 2 for r in out)
+
+
+def test_hashed_linear_score_properties(spark):
+    import math
+
+    from cocrawler_spark.operators.curation import hashed_linear_score
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "zzz qqq xxx vvv kkk"),
+        (3, ""),
+        (4, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r["quality_score"]
+           for r in hashed_linear_score(df, dim=64, seed=1).collect()}
+    # scores live in (0,1); empty text scores exactly sigmoid(bias)=0.5
+    assert all(0.0 < s < 1.0 for s in out.values())
+    assert out[3] == 0.5
+    # identical text -> identical score; different text -> different
+    assert out[1] == out[4]
+    assert out[1] != out[2]
+    # partitioning-invariant (pure map-side expression)
+    out2 = {r["id"]: r["quality_score"]
+            for r in hashed_linear_score(
+                df.repartition(7, "text"), dim=64, seed=1).collect()}
+    assert out == out2
+    # a different seed permutes the feature space -> different scores
+    out3 = {r["id"]: r["quality_score"]
+            for r in hashed_linear_score(df, dim=64, seed=2).collect()}
+    assert out3[1] != out[1]
+    # hand-check one doc against the formula in pure python
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = "zzz qqq xxx vvv kkk".split()
+    ws = []
+    for t in toks:
+        b = h64(t + "#1") % 64
+        ws.append((h64(f"w1#{b}") % 2001 - 1000) / 1000.0)
+    logit = (sum(ws) / len(ws)) * 4.0
+    assert abs(out[2] - round(1.0 / (1.0 + math.exp(-logit)), 6)) < 1e-9

@@ -230,6 +230,150 @@ def test_resume_bloom_format_mismatch_rebuilds(spark, tiny_web, tmp_path):
     assert_engine_matches_oracle(e2, simulate(tiny_web, CFG))
 
 
+def test_tiny_equality_cuckoo_filter(spark, tiny_web, tmp_path):
+    """seen_filter='cuckoo' swaps the probabilistic sidecar (bloom
+    bitmaps → cuckoo fingerprint tables, state/cuckoo.py) — a pure
+    physical-plan choice: FPs fall through to the exact anti-join,
+    negatives are guaranteed-unseen, so the crawl must stay
+    bit-identical to the oracle."""
+    eng = build_engine(spark, tiny_web, CFG, tmp_path, seen_filter="cuckoo")
+    eng.run()
+    m = eng.catalog.latest_manifest()
+    from cocrawler_spark.state.cuckoo import CUCKOO_FORMAT_VERSION
+
+    assert m["seen_filter"] == "cuckoo"
+    assert m["cuckoo_format"] == CUCKOO_FORMAT_VERSION
+    assert_engine_matches_oracle(eng, simulate(tiny_web, CFG))
+
+
+def test_resume_filter_kind_mismatch_rebuilds(spark, tiny_web, tmp_path):
+    """Resuming a bloom-built snapshot with a cuckoo-configured engine
+    must rebuild the sidecar from the exact seen table (probing bloom
+    bitmaps as cuckoo tables would be garbage) and continue
+    bit-identically."""
+    e1 = build_engine(spark, tiny_web, CFG, tmp_path)
+    e1.seed_frontier()
+    e1.run_wave(1)
+    e1.run_wave(2)
+    e2 = build_engine(spark, tiny_web, CFG, tmp_path, seen_filter="cuckoo")
+    e2.resume()
+    m_final = e2.catalog.latest_manifest()
+    assert m_final["seen_filter"] == "cuckoo"
+    assert_engine_matches_oracle(e2, simulate(tiny_web, CFG))
+
+
+def test_expire_seen_recrawl_roundtrip(spark, tiny_web, tmp_path):
+    """Recrawl expiry end-to-end on the cuckoo sidecar: after a full
+    crawl, expire a slice of fetched surts with readmit=True — they
+    stay in `seen` (frontier ⊆ seen invariant), reappear on the
+    frontier via='recrawl', and a resume() re-fetches exactly them;
+    never-fetched expired surts are forgotten from `seen`."""
+    # big wave budget so the crawl exhausts quickly: an unfetched
+    # leftover frontier would blend its own fetches into the recrawl
+    # waves below (resumed engines must carry the SAME config — the
+    # manifest config-drift guard)
+    cfg = CrawlConfig(
+        max_depth=2, max_tries=3, wave_budget_seconds=60.0, max_waves=12,
+        default_crawl_delay=1.0,
+    )
+    eng = build_engine(spark, tiny_web, cfg, tmp_path, seen_filter="cuckoo")
+    eng.run(max_waves=12)
+    assert eng.catalog.latest_manifest()["done"] is True
+    seen_before = {r["surt"] for r in eng.seen.collect()}
+    total_before = eng.total_fetched
+    fetched = sorted(
+        {r["surt"] for r in eng.output("fetched_content").collect()}
+    )
+    victims = fetched[:5]
+    ghost = "test,nonexistent)/never/fetched"  # enqueue-only expiry analog
+    assert ghost not in seen_before
+    exp = spark.createDataFrame(
+        [(s,) for s in victims + [ghost]], "surt string"
+    )
+    removed = eng.expire_seen(exp, readmit=True)
+    # fetched victims are readmitted, NOT forgotten; the ghost isn't in
+    # seen at all, so nothing is removed
+    assert removed == 0
+    m = eng.catalog.latest_manifest()
+    assert m["expired"] == 0 and m["done"] is False
+
+    e2 = build_engine(spark, tiny_web, cfg, tmp_path, seen_filter="cuckoo")
+    # the expiry snapshot consumes a wave number; lift the cap so the
+    # recrawl waves actually run
+    e2.resume(max_waves=24)
+    # seen unchanged (victims stayed; ghost never existed)
+    assert {r["surt"] for r in e2.seen.collect()} == seen_before
+    fc = e2.output("fetched_content").collect()
+    new_waves = [r for r in fc if r["wave"] > eng.last_wave]
+    assert {r["surt"] for r in new_waves} == set(victims)
+    # >=: a flaky (1-in-flaky_mod) victim 599s its first re-fetch and
+    # retries next wave, adding an attempt beyond the len(victims) floor
+    assert e2.total_fetched >= total_before + len(victims)
+
+    # readmit=False: fetched surts ARE forgotten from seen
+    removed2 = e2.expire_seen(
+        spark.createDataFrame([(victims[0],)], "surt string"), readmit=False
+    )
+    assert removed2 == 1
+    e3 = build_engine(spark, tiny_web, cfg, tmp_path, seen_filter="cuckoo")
+    e3.resume(max_waves=24)
+    assert victims[0] not in {r["surt"] for r in e3.seen.collect()}
+
+    # time travel: the pre-expiry snapshot still reads its full seen
+    # set (immutable manifests over immutable parquet versions) even
+    # though the latest snapshot has forgotten victims[0]
+    hist = e3.output_at("seen", eng.last_wave)
+    assert {r["surt"] for r in hist.collect()} == seen_before
+    assert e3.output_at("seen", 99_999) is None
+
+
+def test_robots_txt_source_equality(spark, tiny_web, tmp_path):
+    """Raw robots.txt TEXT as the engine's robots source: serialize
+    each host's rules to an REP body (with a decoy group that must
+    lose RFC 9309 group selection), parse with robots_src_from_txt,
+    crawl — bit-identical to the simulator reading the structured
+    rules. Closes the loop robots fetch → REP parse → broadcast join.
+    ttl_waves has no REP wire form, so the web's ttls are normalized
+    to the parser's default before comparing."""
+    import copy
+
+    from cocrawler_spark.sources.corpus import robots_src_from_txt
+
+    web = copy.deepcopy(tiny_web)
+    for h in web.robots:
+        web.robots[h]["ttl_waves"] = 3
+
+    def to_txt(r):
+        lines = [
+            "# synthetic robots.txt",
+            "User-agent: imagebot-decoy",
+            "Disallow: /",
+            "",
+            "User-agent: *",
+            f"Crawl-delay: {r['crawl_delay']}",
+        ]
+        lines += [f"Disallow: {d}" for d in r["disallow"]]
+        lines += [f"Allow: {a}" for a in r["allow"]]
+        return "\n".join(lines) + "\n"
+
+    paths = write_parquet(web, str(tmp_path / "web"))
+    txt_df = spark.createDataFrame(
+        [(h, to_txt(r)) for h, r in sorted(web.robots.items())],
+        "host string, robots_txt string",
+    )
+    eng = CrawlEngine(
+        spark,
+        CFG,
+        documents=read_documents(spark, paths["documents"]),
+        robots_src=robots_src_from_txt(txt_df, default_ttl_waves=3),
+        seeds=read_seed_parquet(spark, paths["seeds"]),
+        state_dir=str(tmp_path / "state"),
+        bloom_min_seen=0,
+    )
+    eng.run()
+    assert_engine_matches_oracle(eng, simulate(web, CFG))
+
+
 def test_tiny_equality_salted_no_bloom(spark, tiny_web, tmp_path):
     """Engine variants (salted politeness rank, bloom off, shuffle
     fetch join) are pure physical-plan choices — oracle equality must
