@@ -1456,6 +1456,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality_classifier"] = text_quality_classifier
 
+    def ann_ivfpq_topk(spark, sf):
+        # IVF-PQ: corpus stored as (id, cluster, 4 code ints) — the
+        # vector column is dropped before the join (the ~240×
+        # compression that makes 10^10-vector ANN RAM-resident);
+        # queries probe nprobe=2 clusters carrying only their ADC
+        # lookup tables; scoring is 4 array lookups + adds per pair.
+        from cocrawler_spark.operators.similarity import ivfpq_ann_topk
+
+        e = _t(spark, sf, "embeddings")
+        qs = e.filter(F.col("vec_id") < 8)
+        return ivfpq_ann_topk(
+            e, qs, vec_col="embedding", id_col="vec_id",
+            k=5, n_centroids=8, nprobe=2, m_sub=4, k_codes=8, dim=64,
+        )
+
+    q["ann_ivfpq_topk"] = ann_ivfpq_topk
+
     return q
 
 
@@ -2575,5 +2592,48 @@ FROM documents WHERE doc_id % 3 = 0"""
     s["text_quality_classifier"] = f"""
 SELECT doc_id, {hashed_linear_score_sql('text', dim=256, seed=3)} AS quality_score
 FROM documents"""
+
+    # IVF-PQ: codes + per-query LUTs recomputed from the md5 formulas
+    # inside SQL; ADC = lut_0[code_0+1] + ... (left-assoc, matching the
+    # Spark fold); rank by ADC desc, id asc.
+    from cocrawler_spark.operators.similarity import pq_code_sql, pq_lut_sql
+
+    _dsub = 64 // 4
+    _codes = ",\n         ".join(
+        f"{pq_code_sql('embedding', s_, _dsub, 8)} AS code_{s_}"
+        for s_ in range(4)
+    )
+    _luts = ",\n         ".join(
+        f"{pq_lut_sql('embedding', s_, _dsub, 8)} AS lut_{s_}"
+        for s_ in range(4)
+    )
+    _adc = " + ".join(f"qp.lut_{s_}[e.code_{s_} + 1]" for s_ in range(4))
+    s["ann_ivfpq_topk"] = f"""
+WITH e AS (
+  SELECT vec_id, {ivf_cluster_sql('embedding', 8)} AS cluster,
+         {_codes}
+  FROM embeddings),
+qd AS (
+  SELECT vec_id AS query_id, {ivf_dots_sql('embedding', 8)} AS dots,
+         {_luts}
+  FROM embeddings WHERE vec_id < 8),
+qp AS (
+  SELECT qd.*, cl.c AS cluster
+  FROM qd CROSS JOIN (SELECT UNNEST(range(8)) AS c) cl
+  WHERE list_sum(list_transform(range(8), c2 ->
+          CASE WHEN dots[c2 + 1] > dots[cl.c + 1]
+                 OR (dots[c2 + 1] = dots[cl.c + 1] AND c2 < cl.c)
+               THEN 1 ELSE 0 END)) < 2),
+scored AS (
+  SELECT qp.query_id, e.vec_id AS neighbor_id, {_adc} AS adc
+  FROM e JOIN qp ON e.cluster = qp.cluster
+  WHERE e.vec_id <> qp.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS "rank",
+         ROUND(adc, 4) AS adc
+  FROM scored)
+SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", adc
+FROM ranked WHERE "rank" <= 5"""
 
     return s

@@ -60,6 +60,7 @@ HEADLINE = [
     "seen_cuckoo_prefilter",
     "robots_wildcard_match",
     "text_quality_classifier",
+    "ann_ivfpq_topk",
 ]
 
 

@@ -415,3 +415,207 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("cos") >= threshold).select(
         "id_a", "id_b", F.round(F.col("cos"), round_to).alias("cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ): compressed codes + ADC scoring
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(
+    m_sub: int, k_codes: int, dim_sub: int, seed: str = "pq"
+) -> list:
+    """codebooks[s][c] = (components, squared_norm) for subspace s,
+    code c — the same md5 pseudo-random scheme as ivf_centroids, so the
+    oracle recomputes every component (and the squared norm, as the
+    same left-fold over j) inside SQL. A trained PQ swaps these for
+    k-means codebooks; the Spark plumbing (code assignment scan, LUT
+    build, ADC join) is what this operator pins."""
+    import hashlib
+
+    books = []
+    for s in range(m_sub):
+        row = []
+        for c in range(k_codes):
+            comps = []
+            for j in range(dim_sub):
+                h = int(
+                    hashlib.md5(
+                        f"{seed}:{s}:{c}:{j}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                comps.append((h % 1000) / 500.0 - 1.0)
+            sq = 0.0
+            for x in comps:
+                sq = sq + x * x  # explicit left fold == SQL list_sum
+            row.append((comps, sq))
+        books.append(row)
+    return books
+
+
+def _sub(vec, s: int, dim_sub: int):
+    return F.slice(vec.cast("array<double>"), s * dim_sub + 1, dim_sub)
+
+
+def pq_code_col(vec, s: int, dim_sub: int, books_s) -> F.Column:
+    """argmin_c ||x_s − c||² == argmin_c (|c|² − 2·x_s·c); ties →
+    lowest c (list_position semantics on both sides)."""
+    dists = F.array(
+        *[
+            F.lit(float(sq)) - F.lit(2.0) * _dot_lit(_sub(vec, s, dim_sub), comps)
+            for comps, sq in books_s
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_comp_sql(s: int, c: int, seed: str = "pq") -> str:
+    """One codebook component (index j bound by the caller's lambda)."""
+    rand = md5_hash64_sql(f"'{seed}:{s}:{c}:' || CAST(j AS VARCHAR)")
+    return f"((({rand}) % 1000) / 500.0 - 1.0)"
+
+
+def pq_dot_sql(vec_expr: str, s: int, c: int, dim_sub: int, seed: str = "pq") -> str:
+    """dot(subvector s of vec, codebook[s][c]) in DuckDB."""
+    comp = pq_comp_sql(s, c, seed)
+    return (
+        f"list_sum(list_transform(range({dim_sub}), j -> "
+        f"CAST({vec_expr}[{s * dim_sub} + j + 1] AS DOUBLE) * {comp}))"
+    )
+
+
+def pq_sqnorm_sql(s: int, c: int, dim_sub: int, seed: str = "pq") -> str:
+    comp = pq_comp_sql(s, c, seed)
+    return f"list_sum(list_transform(range({dim_sub}), j -> {comp} * {comp}))"
+
+
+def pq_code_sql(
+    vec_expr: str, s: int, dim_sub: int, k_codes: int, seed: str = "pq"
+) -> str:
+    dists = ", ".join(
+        f"({pq_sqnorm_sql(s, c, dim_sub, seed)}"
+        f" - 2.0 * {pq_dot_sql(vec_expr, s, c, dim_sub, seed)})"
+        for c in range(k_codes)
+    )
+    return (
+        f"(CAST(list_position([{dists}], list_min([{dists}])) AS INT) - 1)"
+    )
+
+
+def pq_lut_sql(
+    vec_expr: str, s: int, dim_sub: int, k_codes: int, seed: str = "pq"
+) -> str:
+    """Per-query ADC lookup table for subspace s: [dot(q_s, c_0), ...]."""
+    return (
+        "["
+        + ", ".join(
+            pq_dot_sql(vec_expr, s, c, dim_sub, seed) for c in range(k_codes)
+        )
+        + "]"
+    )
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    seed: str = "ivf",
+    pq_seed: str = "pq",
+    dim: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the 100 TB ANN architecture — the stored corpus row is
+    (id, cluster:int, m_sub code ints), NOT the vector. At dim=1024
+    float32 that is ~4 KB → ~17 bytes per vector (240×), which is the
+    difference between embeddings-fit-in-cluster-RAM and not.
+
+    Plan shape: corpus vectors quantize ONCE (cluster + per-subspace
+    codes, all literal-array math — the vector column is dropped before
+    the join); each query probes its nprobe best clusters carrying only
+    its m_sub ADC lookup tables (k_codes dots each); candidates join
+    cluster-locally and score as m_sub array lookups + adds — no
+    full-dimension math per pair, which is PQ's asymmetric-distance
+    trick (Jégou, Douze, Schmid: Product Quantization for Nearest
+    Neighbor Search, TPAMI 2011). Ranking: ADC score desc, id asc.
+
+    Approximation quality tracks the codebooks; these are the md5
+    stand-ins (docstring of pq_codebooks), so ADC rank agreement with
+    exact cosine is pinned by test rather than assumed."""
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col))).first()
+        if first is None:
+            raise ValueError(
+                "ivfpq_ann_topk: empty corpus — cannot infer dim; pass dim="
+            )
+        dim = first[0]
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dim_sub = dim // m_sub
+    cents = ivf_centroids(n_centroids, dim, seed)
+    books = pq_codebooks(m_sub, k_codes, dim_sub, pq_seed)
+
+    vec = F.col(vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_cluster_col(vec, cents).alias("cluster"),
+        *[
+            pq_code_col(vec, s, dim_sub, books[s]).alias(f"code_{s}")
+            for s in range(m_sub)
+        ],
+    )
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.array(*[_dot_lit(vec, cc) for cc in cents]).alias("_dots"),
+        *[
+            F.array(
+                *[
+                    _dot_lit(_sub(vec, s, dim_sub), comps)
+                    for comps, _ in books[s]
+                ]
+            ).alias(f"lut_{s}")
+            for s in range(m_sub)
+        ],
+    )
+    qe = qd.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_centroids - 1))).alias("cluster"),
+    )
+    d_c = F.element_at(F.col("_dots"), F.col("cluster") + 1)
+    better = F.aggregate(
+        F.zip_with(
+            F.col("_dots"),
+            F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+            lambda d2, c2: F.when(
+                (d2 > d_c) | ((d2 == d_c) & (c2 < F.col("cluster"))),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    q = qe.filter(better < F.lit(nprobe)).drop("_dots")
+    joined = c.join(F.broadcast(q), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    score = None
+    for s in range(m_sub):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        score = term if score is None else score + term
+    scored = joined.withColumn("adc", score)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("adc"), round_to).alias("adc"),
+        )
+    )

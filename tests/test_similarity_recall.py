@@ -68,3 +68,46 @@ def test_multiprobe_superset_of_single_probe(spark):
     s_pairs = {(r["query_id"], r["neighbor_id"]) for r in single.collect()}
     m_pairs = {(r["query_id"], r["neighbor_id"]) for r in multi.collect()}
     assert s_pairs <= m_pairs
+
+
+def test_ivfpq_candidates_and_signal(spark):
+    """IVF-PQ sanity on the md5 stand-in codebooks: (1) PQ top-k stays
+    inside the IVF-probed candidate pool (cluster probing is shared
+    plan machinery); (2) on a CLUSTERED fixture — the data regime PQ
+    exists for — ADC ranking carries real signal: recall@5 vs exact
+    cosine far above the ~5% chance floor of picking 5 from the ~100-
+    candidate pool. Absolute recall is bounded by the tiny code budget
+    (4 subspaces x 8 codes = 12 bits) and the untrained stand-in
+    codebooks — the production path swaps in trained k-means books via
+    pq_codebooks, the plan shape is identical (docstring)."""
+    import numpy as np
+
+    from cocrawler_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        ivf_ann_topk,
+        ivfpq_ann_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 64)
+    rows = [
+        (i, [float(x) for x in centers[i % 20] + 0.15 * rng.randn(64)])
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 16)
+    pq = ivfpq_ann_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=2, m_sub=4, k_codes=8
+    )
+    pq_top = _topk_sets(pq)
+    # (1) candidates subset of the IVF-probed pool
+    pool = _topk_sets(
+        ivf_ann_topk(emb, queries, k=1000, n_centroids=8, nprobe=2)
+    )
+    for qid, got in pq_top.items():
+        assert got <= pool[qid]
+        assert len(got) == 5
+    # (2) ADC signal: recall@5 vs exact cosine >= 0.2 (measured 0.375
+    # on this fixture; chance over the probed pool is ~0.05)
+    exact = _topk_sets(cosine_topk_bruteforce(emb, queries, k=5))
+    assert _recall(pq_top, exact) >= 0.2
