@@ -1473,6 +1473,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivfpq_topk"] = ann_ivfpq_topk
 
+    def text_inverted_index(spark, sf):
+        """Postings statistics (term -> df, total_tf) over the corpus —
+        the vocabulary table an index build / stopword list / idf model
+        starts from. min_df=3 trims the hapax tail."""
+        from cocrawler_spark.operators.indexing import inverted_postings
+
+        return inverted_postings(
+            _ts(spark, sf, "documents"), text_col="text", id_col="doc_id",
+            min_df=3,
+        )
+
+    q["text_inverted_index"] = text_inverted_index
+
+    def graph_anchor_text(spark, sf):
+        """Per-target anchor-text rollup: each link target's top-3 most
+        frequent anchor strings (the classic web-search signal — anchors
+        describe the target). Link pairs synthesized from events:
+        target = user bucket, anchor = event_type."""
+        from cocrawler_spark.operators.indexing import anchor_text_topk
+
+        e = _t(spark, sf, "events")
+        links = e.select(
+            F.concat(F.lit("u"), (F.col("user_id") % 50).cast("string")).alias(
+                "target"
+            ),
+            F.col("event_type").alias("anchor"),
+        )
+        return anchor_text_topk(links, k=3)
+
+    q["graph_anchor_text"] = graph_anchor_text
+
+    def text_bigram_logprob(spark, sf):
+        """Bigram-LM quality signal: mean negative conditional log-prob
+        ln p(w2|w1) under the corpus's own bigram counts — penalizes
+        unusual token ORDER, the notch above the unigram perplexity
+        proxy. No smoothing needed (model fit on the scored corpus)."""
+        from cocrawler_spark.operators.curation import bigram_logprob_score
+
+        return bigram_logprob_score(
+            _ts(spark, sf, "documents"), text_col="text", id_col="doc_id"
+        ).select(
+            F.col("id").alias("doc_id"), "n_bigrams", "avg_neg_logprob2"
+        )
+
+    q["text_bigram_logprob"] = text_bigram_logprob
+
+    def warc_revisit_dedup(spark, sf):
+        """WARC-sink content dedup: first capture per payload digest is
+        a 'response' record, later identical captures become 'revisit'
+        records pointing at the original (WARC 1.1 §6.7.2)."""
+        from cocrawler_spark.operators.dedup import warc_revisit_records
+
+        return warc_revisit_records(
+            _t(spark, sf, "documents"), text_col="text", id_col="doc_id"
+        )
+
+    q["warc_revisit_dedup"] = warc_revisit_dedup
+
     return q
 
 
@@ -2635,5 +2693,49 @@ ranked AS (
   FROM scored)
 SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", adc
 FROM ranked WHERE "rank" <= 5"""
+
+    s["text_inverted_index"] = f"""
+WITH tokx AS (SELECT doc_id, unnest({tokens_sql('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokx GROUP BY doc_id, term)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+FROM tf GROUP BY term HAVING COUNT(*) >= 3"""
+
+    s["graph_anchor_text"] = """
+WITH pairs AS (
+  SELECT 'u' || CAST(user_id % 50 AS VARCHAR) AS target,
+         event_type AS anchor, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+rk AS (
+  SELECT target, anchor, n,
+         ROW_NUMBER() OVER (PARTITION BY target
+                            ORDER BY n DESC, anchor ASC) AS "rank"
+  FROM pairs)
+SELECT target, anchor, n, CAST("rank" AS INT) AS "rank"
+FROM rk WHERE "rank" <= 3"""
+
+    s["text_bigram_logprob"] = f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_slice(
+           list_transform(toks, (x, i) -> {{'w1': x, 'w2': toks[i + 1]}}),
+           1, greatest(len(toks) - 1, 0))) AS b
+  FROM t),
+bgf AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+pc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgf GROUP BY w1, w2),
+hc AS (SELECT w1, SUM(c2) AS c1 FROM pc GROUP BY w1)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln(c1) - ln(c2)), 6) AS avg_neg_logprob2
+FROM bgf JOIN pc USING (w1, w2) JOIN hc USING (w1)
+GROUP BY doc_id"""
+
+    from cocrawler_spark.functions.text import md5_hash64_sql as _mh
+
+    s["warc_revisit_dedup"] = f"""
+WITH recs AS (SELECT doc_id AS id, {_mh('text')} AS digest FROM documents),
+win AS (SELECT digest, MIN(id) AS orig FROM recs GROUP BY digest)
+SELECT id, digest,
+       CASE WHEN id = orig THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN id = orig THEN CAST(NULL AS BIGINT) ELSE orig END AS refers_to
+FROM recs JOIN win USING (digest)"""
 
     return s

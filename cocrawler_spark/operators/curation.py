@@ -300,6 +300,72 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+) -> DataFrame:
+    """(id, n_bigrams, avg_neg_logprob2): mean negative CONDITIONAL
+    log-probability ln p(w2|w1) of a doc's adjacent token pairs under
+    the corpus's own bigram model — the next notch above the unigram
+    perplexity proxy (unigram_logprob_score): it also penalizes
+    unusual token ORDER (shuffled/stitched text scores high even when
+    its unigram mix looks normal). As with the unigram score, fitting
+    on the scored corpus itself means every scored bigram has count
+    >= 1, so no smoothing is needed and both engines take ln of exact
+    integer counts:
+
+        avg_neg_logprob2 = mean over bigrams of ln c(w1) - ln c(w1,w2)
+
+    where c(w1) counts w1 as a bigram HEAD (so the conditionals
+    normalize: sum_w2 p(w2|w1) = 1 exactly). Docs with < 2 tokens have
+    no bigrams and are absent from the output.
+
+    Plan: one bigram explode (adjacent-pair transform over the token
+    array — pure JVM, no Python) → groupBy(bigram) and groupBy(head)
+    count tables broadcast back → one groupBy(id). Same shape and skew
+    profile as the unigram score. Scale note: a 100 TB corpus's bigram
+    vocabulary outgrows a broadcast — there, drop the hints and let the
+    rejoin be the sort-merge on (w1, w2) it naturally is (keys are
+    near-uniform post-aggregation), or pre-prune the count tables to
+    bigrams above a min count and treat misses as count-1.
+    """
+    # adjacent pairs: element i with element i+1; the last transform
+    # output pairs with null and is sliced off (same construction as
+    # the DuckDB twin's list_transform/list_slice). get() is the
+    # 0-based null-on-out-of-bounds accessor (ANSI-safe, unlike []).
+    bg = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            tokens_col(F.col(text_col)).alias("_toks"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.expr(
+                    "slice(transform(_toks, (x, i) -> "
+                    "struct(x AS w1, get(_toks, i + 1) AS w2)), "
+                    "1, greatest(size(_toks) - 1, 0))"
+                )
+            ).alias("b"),
+        )
+        .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    pair_c = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    head_c = pair_c.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        bg.join(F.broadcast(pair_c), ["w1", "w2"])
+        .join(F.broadcast(head_c), "w1")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log("c1") - F.log("c2")), 6
+            ).alias("avg_neg_logprob2"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

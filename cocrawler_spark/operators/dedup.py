@@ -541,3 +541,42 @@ def chunk_dedup(
         )
         .select("id", "text_deduped", "n_kept", "n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC-style revisit records (content-digest dedup at the archive sink)
+# ---------------------------------------------------------------------------
+
+def warc_revisit_records(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, digest, record_type, refers_to): classify every document as
+    a WARC ``response`` (first capture of its content digest) or
+    ``revisit`` (an identical-payload-digest re-capture pointing at the
+    original) — the archive-sink dedup web crawlers apply at write time
+    (WARC 1.1 §6.7.2 revisit records; cocrawler's warc module computes
+    the same payload digest per fetch †warc.py). The canonical capture
+    per digest is the minimal id — deterministic under any
+    partitioning.
+
+    Plan: one groupBy(digest) for the winner (map-side combine; the
+    digest key is uniform by construction) + one broadcast-or-shuffle
+    equi-join back. No windows over raw rows, no global sort.
+    """
+    recs = df.select(
+        F.col(id_col).alias("id"),
+        md5_hash64_col(F.col(text_col)).alias("digest"),
+    )
+    winner = recs.groupBy("digest").agg(F.min("id").alias("_orig"))
+    return recs.join(winner, "digest").select(
+        "id",
+        "digest",
+        F.when(F.col("id") == F.col("_orig"), F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("record_type"),
+        F.when(F.col("id") == F.col("_orig"), F.lit(None).cast("long"))
+        .otherwise(F.col("_orig"))
+        .alias("refers_to"),
+    )
