@@ -1531,6 +1531,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_revisit_dedup"] = warc_revisit_dedup
 
+    def frontier_pagerank_priority(spark, sf):
+        """Chained plan: host PageRank (3 rounds) feeds frontier
+        re-prioritization — pending URLs ranked by their host's rank
+        (authority-first scheduling), top-100. The host-graph analytics
+        looping back into the scheduler."""
+        from cocrawler_spark.operators.graph import pagerank
+
+        li = _t(spark, sf, "lineitem")
+        edges = li.select(
+            F.concat(F.lit("h"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((F.col("l_partkey") * 7 + 3) % 40).cast("string")
+            ).alias("dst"),
+        )
+        pr = pagerank(edges, iters=3, damping=0.85).select(
+            "node", F.round("rank", 6).alias("host_rank")
+        )
+        o = _t(spark, sf, "orders")
+        host = F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string"))
+        frontier = o.select(
+            host.alias("host"),
+            F.concat(
+                F.lit("http://"), host, F.lit(".test/o/"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("url"),
+        )
+        return (
+            frontier.join(F.broadcast(pr), frontier["host"] == pr["node"], "left")
+            .select(
+                "url", "host",
+                F.coalesce("host_rank", F.lit(0.0)).alias("host_rank"),
+            )
+            .orderBy(F.col("host_rank").desc(), F.col("url").asc())
+            .limit(100)
+        )
+
+    q["frontier_pagerank_priority"] = frontier_pagerank_priority
+
+    def graph_seed_distance(spark, sf):
+        """BFS distance (≤3 hops) from a 4-host seed set over the host
+        digraph — the crawl-reach rollup (graph distance ≡ earliest
+        possible fetch wave)."""
+        from cocrawler_spark.operators.graph import seed_distances
+
+        li = _t(spark, sf, "lineitem")
+        edges = li.select(
+            F.concat(F.lit("h"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((F.col("l_partkey") * 7 + 3) % 40).cast("string")
+            ).alias("dst"),
+        )
+        seeds = spark.createDataFrame(
+            [("h0",), ("h1",), ("h2",), ("h3",)], "node string"
+        )
+        return seed_distances(edges, seeds, hops=3)
+
+    q["graph_seed_distance"] = graph_seed_distance
+
     return q
 
 
@@ -2737,5 +2795,50 @@ SELECT id, digest,
        CASE WHEN id = orig THEN 'response' ELSE 'revisit' END AS record_type,
        CASE WHEN id = orig THEN CAST(NULL AS BIGINT) ELSE orig END AS refers_to
 FROM recs JOIN win USING (digest)"""
+
+    # chained plan: the unrolled-pagerank CTEs (same _pr_round template
+    # as graph_pagerank) feeding a frontier re-prioritization join.
+    s["frontier_pagerank_priority"] = (
+        """
+WITH e AS (SELECT DISTINCT 'h' || CAST(l_orderkey % 40 AS VARCHAR) AS src,
+                           'h' || CAST(((l_partkey * 7 + 3) % 40) AS VARCHAR) AS dst
+           FROM lineitem),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),"""
+        + _pr_round.format(k=1, p=0) + ","
+        + _pr_round.format(k=2, p=1) + ","
+        + _pr_round.format(k=3, p=2)
+        + """,
+pr AS (SELECT node, ROUND(rank, 6) AS host_rank FROM r3),
+f AS (SELECT 'h' || CAST(o_custkey % 40 AS VARCHAR) AS host,
+             'http://h' || CAST(o_custkey % 40 AS VARCHAR) || '.test/o/'
+               || CAST(o_orderkey AS VARCHAR) AS url
+      FROM orders)
+SELECT url, f.host, COALESCE(pr.host_rank, 0.0) AS host_rank
+FROM f LEFT JOIN pr ON f.host = pr.node
+ORDER BY host_rank DESC, url ASC LIMIT 100"""
+    )
+
+    _bfs_round = """
+d{k} AS (SELECT node, CAST(MIN(dist) AS INT) AS dist FROM (
+           SELECT node, dist FROM d{p}
+           UNION ALL
+           SELECT e.dst AS node, d.dist + 1 AS dist
+           FROM e JOIN d{p} d ON e.src = d.node)
+         GROUP BY node)"""
+    s["graph_seed_distance"] = (
+        """
+WITH e AS (SELECT DISTINCT 'h' || CAST(l_orderkey % 40 AS VARCHAR) AS src,
+                           'h' || CAST(((l_partkey * 7 + 3) % 40) AS VARCHAR) AS dst
+           FROM lineitem),
+d0 AS (SELECT unnest(['h0','h1','h2','h3']) AS node, CAST(0 AS INT) AS dist),"""
+        + _bfs_round.format(k=1, p=0) + ","
+        + _bfs_round.format(k=2, p=1) + ","
+        + _bfs_round.format(k=3, p=2)
+        + """
+SELECT node, dist FROM d3"""
+    )
 
     return s

@@ -230,3 +230,47 @@ def hits(
         return scores.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+
+
+def seed_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """(node, dist): BFS distance (≤ hops) from a seed set over the
+    simple digraph — the "how far from the seed list does the crawl
+    reach by wave K" rollup (crawl depth ≡ graph distance when every
+    wave fetches everything it may).
+
+    K synchronous relaxation rounds, each one join (frontier × edges)
+    + one groupBy(node) min — the same shuffle shape as pagerank;
+    nodes never reached within `hops` are absent from the output.
+    Deterministic: distances are exact integers.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    e.count()
+    try:
+        dist = seeds.select(
+            F.col(node_col).alias("node"), F.lit(0).alias("dist")
+        ).distinct()
+        for _ in range(hops):
+            step = (
+                e.join(dist, e["src"] == dist["node"])
+                .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            )
+            dist = (
+                dist.unionByName(step)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+        return dist.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

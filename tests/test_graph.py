@@ -143,3 +143,28 @@ def test_hits_matches_numpy(spark):
         assert got[k][0] == pytest.approx(want[k][0], abs=1e-12)
         assert got[k][1] == pytest.approx(want[k][1], abs=1e-12)
     assert got["e"][0] == 0.0  # no out-edges -> hub 0
+
+
+def test_seed_distances_bfs(spark):
+    from cocrawler_spark.operators.graph import seed_distances
+
+    # chain a->b->c->x->y plus d isolated-from-seeds
+    edges = [("a", "b"), ("b", "c"), ("c", "x"), ("x", "y"), ("d", "c")]
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["dist"]
+        for r in seed_distances(
+            _edge_df(spark, edges), seeds, hops=3
+        ).collect()
+    }
+    # y is 4 hops away -> absent at hops=3; d unreachable from a
+    assert got == {"a": 0, "b": 1, "c": 2, "x": 3}
+    # seed wins over a longer path back to itself
+    edges2 = edges + [("c", "a")]
+    got2 = {
+        r["node"]: r["dist"]
+        for r in seed_distances(
+            _edge_df(spark, edges2), seeds, hops=3
+        ).collect()
+    }
+    assert got2["a"] == 0
