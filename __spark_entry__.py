@@ -1589,6 +1589,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_seed_distance"] = graph_seed_distance
 
+    def url_param_strip(spark, sf):
+        """Tracking-param canonicalization: drop utm_*/click-id params
+        (the unbounded URL-aliasing leak RFC-level canonicalization
+        can't see) and emit the order-insensitive dedup key. Pure JVM
+        split→filter→rejoin; URL mix covers no-query, all-stripped,
+        mixed, and param-order-aliased shapes."""
+        from cocrawler_spark.functions.urls import strip_tracking_params_cols
+
+        o = _t(spark, sf, "orders")
+        url = F.concat(
+            F.lit("http://h"), (F.col("o_custkey") % 40).cast("string"),
+            F.lit(".test/p/"), F.col("o_orderkey").cast("string"),
+            F.when(F.col("o_orderkey") % 4 == 0, F.lit(""))
+            .when(
+                F.col("o_orderkey") % 4 == 1,
+                F.concat(
+                    F.lit("?utm_source=news&id="),
+                    (F.col("o_orderkey") % 7).cast("string"),
+                    F.lit("&utm_campaign=x"),
+                ),
+            )
+            .when(F.col("o_orderkey") % 4 == 2, F.lit("?b=2&a=1&gclid=abc"))
+            .otherwise(F.lit("?utm_medium=email&fbclid=xyz")),
+        )
+        cols = strip_tracking_params_cols(F.col("url"))
+        return (
+            o.select(url.alias("url"))
+            .select(
+                "url",
+                cols["url_stripped"].alias("url_stripped"),
+                cols["dedup_key"].alias("dedup_key"),
+            )
+        )
+
+    q["url_param_strip"] = url_param_strip
+
+    def sitemap_conditional_refetch(spark, sf):
+        """Chained plan: sitemap XML parse → lastmod vs fetch-log join →
+        If-Modified-Since refetch gate. URLs without lastmod stay
+        refetch=false (the recrawl estimator owns those); URLs never
+        fetched or with newer lastmod flip true."""
+        from cocrawler_spark.operators.temporal import lastmod_refetch
+        from cocrawler_spark.sources.corpus import parse_sitemaps
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".test"))
+        u0 = F.concat(F.lit("http://"), host, F.lit("/s/"),
+                      F.col("doc_id").cast("string"), F.lit("/0"))
+        u1 = F.concat(F.lit("http://"), host, F.lit("/s/"),
+                      F.col("doc_id").cast("string"), F.lit("/1"))
+        digit = ((F.col("doc_id") % 9) + 1).cast("string")
+        xml = F.concat(
+            F.lit('<?xml version="1.0"?>\n<urlset>'),
+            F.lit("<url><loc>"), u0, F.lit("</loc></url>"),
+            F.lit("<url><loc>"), u1, F.lit("</loc><lastmod>2024-05-0"),
+            digit, F.lit("</lastmod></url>"),
+            F.lit("</urlset>"),
+        )
+        sitemap = parse_sitemaps(d.select("doc_id", xml.alias("xml"))).select(
+            "url", "lastmod"
+        )
+        # fetch log: /1 URLs of doc_id%3!=0 fetched at 2024-05-0(id%5+1)
+        fetched = d.filter(F.col("doc_id") % 3 != 0).select(
+            F.concat(
+                F.lit("http://h"), (F.col("doc_id") % 40).cast("string"),
+                F.lit(".test/s/"), F.col("doc_id").cast("string"), F.lit("/1"),
+            ).alias("url"),
+            F.concat(
+                F.lit("2024-05-0"), ((F.col("doc_id") % 5) + 1).cast("string")
+            ).alias("fetched_at"),
+        )
+        return lastmod_refetch(sitemap, fetched)
+
+    q["sitemap_conditional_refetch"] = sitemap_conditional_refetch
+
     return q
 
 
@@ -2840,5 +2915,46 @@ d0 AS (SELECT unnest(['h0','h1','h2','h3']) AS node, CAST(0 AS INT) AS dist),"""
         + """
 SELECT node, dist FROM d3"""
     )
+
+    from cocrawler_spark.functions.urls import strip_tracking_params_sql
+
+    _sp = strip_tracking_params_sql("url")
+    s["url_param_strip"] = f"""
+WITH u AS (
+  SELECT 'http://h' || CAST(o_custkey % 40 AS VARCHAR) || '.test/p/'
+         || CAST(o_orderkey AS VARCHAR)
+         || CASE CAST(o_orderkey % 4 AS INT)
+              WHEN 0 THEN ''
+              WHEN 1 THEN '?utm_source=news&id='
+                          || CAST(o_orderkey % 7 AS VARCHAR)
+                          || '&utm_campaign=x'
+              WHEN 2 THEN '?b=2&a=1&gclid=abc'
+              ELSE '?utm_medium=email&fbclid=xyz' END AS url
+  FROM orders)
+SELECT url,
+       {_sp['url_stripped']} AS url_stripped,
+       {_sp['dedup_key']} AS dedup_key
+FROM u"""
+
+    s["sitemap_conditional_refetch"] = """
+WITH sm AS (
+  SELECT 'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.test/s/'
+           || CAST(doc_id AS VARCHAR) || '/0' AS url,
+         CAST(NULL AS VARCHAR) AS lastmod
+  FROM documents
+  UNION ALL
+  SELECT 'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.test/s/'
+           || CAST(doc_id AS VARCHAR) || '/1',
+         '2024-05-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+  FROM documents),
+fl AS (
+  SELECT 'http://h' || CAST(doc_id % 40 AS VARCHAR) || '.test/s/'
+           || CAST(doc_id AS VARCHAR) || '/1' AS url,
+         '2024-05-0' || CAST(doc_id % 5 + 1 AS VARCHAR) AS fetched_at
+  FROM documents WHERE doc_id % 3 <> 0)
+SELECT sm.url, sm.lastmod, fl.fetched_at,
+       (sm.lastmod IS NOT NULL AND
+        (fl.fetched_at IS NULL OR sm.lastmod > fl.fetched_at)) AS refetch
+FROM sm LEFT JOIN fl ON sm.url = fl.url"""
 
     return s

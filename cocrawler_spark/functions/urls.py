@@ -28,6 +28,7 @@ from typing import Optional
 from urllib.parse import urljoin, urlsplit
 
 import pandas as pd
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     StringType,
@@ -366,3 +367,84 @@ def with_canonical(df, raw_col: str, base_col=None, prefix: str = ""):
     for f in _CANON_FIELDS:
         df = df.withColumn(prefix + f, F.col(f"{tmp}.{f}"))
     return df.drop(tmp)
+
+
+# ---------------------------------------------------------------------------
+# tracking-parameter stripping (dedup-key canonicalization beyond RFC 3986)
+# ---------------------------------------------------------------------------
+# Tracking params (utm_* campaign tags, click ids) create unbounded URL
+# aliasing for byte-identical content — the classic crawl-dedup leak
+# RFC-level canonicalization cannot see. Pure JVM expressions (split →
+# filter → rejoin; whole-stage codegen, zero Python) with an exact
+# DuckDB twin. Key set: the ubiquitous cross-site params only; host-
+# specific rules belong in config, not code.
+
+TRACKING_PARAM_EXACT = (
+    "gclid", "fbclid", "msclkid", "mc_eid", "igshid", "yclid", "_ga",
+)
+_TRACKING_RE = "^utm_"
+
+
+def _kept_params(query: Column) -> Column:
+    key = lambda p: F.lower(F.substring_index(p, "=", 1))
+    return F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~key(p).rlike(_TRACKING_RE)
+        & ~key(p).isin(*TRACKING_PARAM_EXACT),
+    )
+
+
+def strip_tracking_params_cols(url: Column) -> dict[str, Column]:
+    """{'url_stripped', 'dedup_key'}: the URL with tracking params
+    removed (original param order kept — order can matter server-side)
+    and the dedup KEY with surviving params additionally sorted
+    (param-order-insensitive aliasing collapses too). Splits on the
+    FIRST '?'; no-query and all-params-stripped URLs lose the '?'.
+    """
+    pos = F.instr(url, "?")
+    base = F.when(pos > 0, F.substring(url, F.lit(1), pos - 1)).otherwise(url)
+    query = F.when(
+        pos > 0, F.substring(url, pos + 1, F.length(url))
+    ).otherwise(F.lit(""))
+    kept = _kept_params(query)
+
+    def _join(params: Column) -> Column:
+        return F.when(
+            F.size(params) > 0,
+            F.concat(base, F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(base)
+
+    return {
+        "url_stripped": _join(kept),
+        "dedup_key": _join(F.array_sort(kept)),
+    }
+
+
+def strip_tracking_params_sql(expr: str) -> dict[str, str]:
+    """DuckDB twins of strip_tracking_params_cols (same key set, same
+    first-'?' split, same empty-drop / sort semantics)."""
+    exact = ", ".join(f"'{k}'" for k in TRACKING_PARAM_EXACT)
+    kept = (
+        "list_filter(string_split("
+        f"CASE WHEN instr({expr}, '?') > 0 "
+        f"THEN substr({expr}, instr({expr}, '?') + 1) ELSE '' END, '&'), "
+        "p -> p <> '' AND NOT regexp_matches(lower(split_part(p, '=', 1)), "
+        f"'{_TRACKING_RE}') AND lower(split_part(p, '=', 1)) NOT IN ({exact}))"
+    )
+    base = (
+        f"CASE WHEN instr({expr}, '?') > 0 "
+        f"THEN substr({expr}, 1, instr({expr}, '?') - 1) ELSE {expr} END"
+    )
+
+    def join(params: str) -> str:
+        return (
+            f"CASE WHEN len({params}) > 0 "
+            f"THEN {base} || '?' || array_to_string({params}, '&') "
+            f"ELSE {base} END"
+        )
+
+    return {
+        "url_stripped": join(kept),
+        "dedup_key": join(f"list_sort({kept})"),
+    }

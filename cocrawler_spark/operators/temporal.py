@@ -307,3 +307,41 @@ def recrawl_schedule(
         F.round(interval, 6).alias("revisit_s"),
         (F.col("last_us") + (interval * 1e6).cast("long")).alias("next_fetch_us"),
     )
+
+
+def lastmod_refetch(
+    sitemap: DataFrame,
+    fetch_log: DataFrame,
+    url_col: str = "url",
+    lastmod_col: str = "lastmod",
+    fetched_col: str = "fetched_at",
+) -> DataFrame:
+    """(url, lastmod, fetched_at, refetch): the If-Modified-Since analog
+    driven by sitemap metadata — a URL needs refetching when its
+    declared lastmod is newer than the last fetch (or it was never
+    fetched). URLs WITHOUT a lastmod get refetch=false here: absent
+    change metadata is `recrawl_schedule`'s job (the Cho &
+    Garcia-Molina estimator), not this gate's.
+
+    One left equi-join on url (fetch-log side pre-aggregated to the
+    latest fetch per URL upstream); comparison is a lexical ISO-8601
+    compare, valid for same-precision timestamps.
+    """
+    sm = sitemap.select(
+        F.col(url_col).alias("url"), F.col(lastmod_col).alias("lastmod")
+    )
+    fl = fetch_log.select(
+        F.col(url_col).alias("url"), F.col(fetched_col).alias("fetched_at")
+    )
+    return sm.join(fl, "url", "left").select(
+        "url",
+        "lastmod",
+        "fetched_at",
+        (
+            F.col("lastmod").isNotNull()
+            & (
+                F.col("fetched_at").isNull()
+                | (F.col("lastmod") > F.col("fetched_at"))
+            )
+        ).alias("refetch"),
+    )

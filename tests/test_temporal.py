@@ -231,3 +231,29 @@ def test_asof_string_right_id(spark):
         left_id="event_id", right_id="url",
     ).collect()[0]
     assert r["matched_url"] == "u-b"
+
+
+def test_lastmod_refetch_gate(spark):
+    from cocrawler_spark.operators.temporal import lastmod_refetch
+
+    sitemap = spark.createDataFrame(
+        [
+            ("u1", "2024-05-09"),  # newer than fetch -> refetch
+            ("u2", "2024-05-01"),  # older -> no
+            ("u3", "2024-05-05"),  # equal -> no (strict >)
+            ("u4", None),          # no lastmod -> estimator's job, no
+            ("u5", "2024-05-02"),  # never fetched -> refetch
+        ],
+        "url string, lastmod string",
+    )
+    log = spark.createDataFrame(
+        [("u1", "2024-05-05"), ("u2", "2024-05-05"),
+         ("u3", "2024-05-05"), ("u4", "2024-05-05")],
+        "url string, fetched_at string",
+    )
+    got = {
+        r["url"]: r["refetch"]
+        for r in lastmod_refetch(sitemap, log).collect()
+    }
+    assert got == {"u1": True, "u2": False, "u3": False,
+                   "u4": False, "u5": True}

@@ -151,3 +151,54 @@ def test_canonicalize_fast_lane_parity():
         assert canonicalize_one(raw) == canonicalize_one(
             raw, fast=False
         ), raw
+
+
+def test_strip_tracking_params(spark):
+    from cocrawler_spark.functions.urls import strip_tracking_params_cols
+
+    import pyspark.sql.functions as F
+
+    cases = [
+        ("http://a.test/p", "http://a.test/p", "http://a.test/p"),
+        ("http://a.test/p?utm_source=x", "http://a.test/p", "http://a.test/p"),
+        (
+            "http://a.test/p?utm_source=x&id=1&b=2",
+            "http://a.test/p?id=1&b=2",
+            "http://a.test/p?b=2&id=1",
+        ),
+        (  # param-order aliasing collapses in dedup_key only
+            "http://a.test/p?b=2&id=1",
+            "http://a.test/p?b=2&id=1",
+            "http://a.test/p?b=2&id=1",
+        ),
+        (  # exact click-ids, case-insensitive keys, empty params dropped
+            "http://a.test/p?GCLID=z&&x=9&FBCLID=q",
+            "http://a.test/p?x=9",
+            "http://a.test/p?x=9",
+        ),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "url string")
+    cols = strip_tracking_params_cols(F.col("url"))
+    got = {
+        r["url"]: (r["s"], r["k"])
+        for r in df.select(
+            "url", cols["url_stripped"].alias("s"), cols["dedup_key"].alias("k")
+        ).collect()
+    }
+    for url, want_s, want_k in cases:
+        assert got[url] == (want_s, want_k), url
+
+    # DuckDB twin parity on the same inputs
+    import duckdb
+
+    from cocrawler_spark.functions.urls import strip_tracking_params_sql
+
+    sp = strip_tracking_params_sql("url")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?)", [(c[0],) for c in cases])
+    rows = con.execute(
+        f"SELECT url, {sp['url_stripped']} AS s, {sp['dedup_key']} AS k FROM u"
+    ).fetchall()
+    for url, s_, k_ in rows:
+        assert got[url] == (s_, k_), f"duckdb twin diverges on {url}"
