@@ -58,6 +58,10 @@ HEADLINE = [
     "temporal_hypertable_rollup",
     "temporal_recrawl_schedule",
     "seen_cuckoo_prefilter",
+    "url_param_strip",
+    "text_inverted_index",
+    "graph_anchor_text",
+    "warc_revisit_dedup",
     "robots_wildcard_match",
     "text_quality_classifier",
     "ann_ivfpq_topk",

@@ -352,14 +352,15 @@ def write_report(size: str, waves: int, legs: dict[int, dict]):
         "not the plan's parallelism; the 4v16 pairing — where per-core",
         "bandwidth is not yet the binding resource — is the closer analog",
         "of cluster scaling. Both are reported; the per-wave tables above",
-        "give the raw data to apply either reading. This round's measured",
-        "efficiencies sit ABOVE that all-bandwidth ceiling at BOTH",
-        "pairings (0.796 > 0.62 at 4v16; 0.65 > 0.55 at 8v32) — direct",
-        "evidence the crawl's surviving hot path retains compute",
-        "parallelism: what scales here is the plan, and the residue is",
-        "the box's shared memory bus, which a real cluster multiplies",
-        "with its executors. Methodology, bottleneck log, and the 10^10",
-        "extrapolation model: BENCH/ANALYSIS.md.",
+        "give the raw data to apply either reading. The all-bandwidth",
+        "ceilings to read the measured efficiencies against: 0.62 at",
+        "4v16, 0.55 at 8v32 (tools/roofline.py) — a measured efficiency",
+        "above its pairing's ceiling is direct evidence the crawl's",
+        "surviving hot path retains compute parallelism: what scales",
+        "here is the plan, and the residue is the box's shared memory",
+        "bus, which a real cluster multiplies with its executors.",
+        "Methodology, bottleneck log, run-to-run variance discipline,",
+        "and the 10^10 extrapolation model: BENCH/ANALYSIS.md.",
         "",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
