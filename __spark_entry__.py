@@ -739,6 +739,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_cluster_sizes"] = dedup_cluster_sizes
 
+    def dedup_keep_best(spark, sf):
+        """Quality-aware near-dup collapse: component-label the LSH
+        pair graph, then keep the highest-token-count doc per cluster
+        (tie → min id) — the keep-the-clean-copy survivor rule real
+        curation pipelines apply instead of min-id."""
+        from cocrawler_spark.operators.clustering import keep_best_representative
+
+        d = _ts(spark, sf, "documents")
+        pairs = minhash_lsh_pairs(
+            d, "text", "doc_id", k=8, bands=4,
+            precollapse=True, max_bucket=1024,
+        )
+        docs = d.select(
+            "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+        )
+        return keep_best_representative(
+            docs, pairs, "n_tokens", id_col="doc_id"
+        )
+
+    q["dedup_keep_best"] = dedup_keep_best
+
     # --- text analysis: repetition signals + PII scrub ------------------------
     def text_repetition(spark, sf):
         """Gopher-style duplicate n-gram fractions (n=1,2,3) per doc —
@@ -873,6 +894,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fr.select("asset_id", "frame_idx", "ts_ms")
 
     q["media_frame_sample"] = media_frame_sample
+
+    def media_exact_dedup(spark, sf):
+        """Asset-level exact dedup by content digest: identical media
+        bytes referenced from many pages collapse to one representative
+        before any codec work — only the 32-char digest shuffles, the
+        binary column stays map-side."""
+        from cocrawler_spark.sources.multimodal import dedup_assets_exact
+
+        a = synth_assets_from_documents(_media_docs(spark, sf))
+        return dedup_assets_exact(a)
+
+    q["media_exact_dedup"] = media_exact_dedup
 
     # --- DNS cache / hosts dim (deterministic fake resolver + gate) ----------
     def dns_resolve(spark, sf):
@@ -1015,6 +1048,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["domain_quality"] = domain_quality
+
+    def mix_temperature(spark, sf):
+        """Temperature-scaled source-mixing weights (alpha=0.3): the
+        multilingual/multi-source LM sampling rule — one |strata|-row
+        groupBy, weights from pow of exact integer token totals."""
+        from cocrawler_spark.operators.curation import temperature_mix_weights
+
+        return temperature_mix_weights(
+            _ts(spark, sf, "documents"), "source", alpha=0.3, text_col="text"
+        )
+
+    q["mix_temperature"] = mix_temperature
+
+    def text_dsir_weight(spark, sf):
+        """DSIR importance weights: hashed-unigram log-likelihood ratio
+        of each doc under the target slice (lang='en') vs the whole
+        corpus — the data-selection score of Xie et al. 2023. Bucket
+        count tables are dim-row broadcasts; ln over exact ints."""
+        from cocrawler_spark.operators.curation import dsir_importance
+
+        d = _ts(spark, sf, "documents")
+        return dsir_importance(
+            d, d.filter(F.col("lang") == "en"),
+            text_col="text", id_col="doc_id", dim=256, seed=0,
+        ).select(F.col("id").alias("doc_id"), "n_tokens", "dsir_logratio")
+
+    q["text_dsir_weight"] = text_dsir_weight
+
+    def text_char_entropy(spark, sf):
+        """Character-unigram Shannon entropy per doc — the low-entropy
+        spam / high-entropy binary-junk gate, computed zero-shuffle
+        INSIDE the row (distinct-char fold, no explode)."""
+        from cocrawler_spark.functions.text import char_entropy_cols
+
+        d = _ts(spark, sf, "documents")
+        c = char_entropy_cols(F.col("text"))
+        return d.select(
+            "doc_id",
+            c["n_chars"].alias("n_chars"),
+            c["n_distinct_chars"].alias("n_distinct_chars"),
+            c["char_entropy"].alias("char_entropy"),
+        )
+
+    q["text_char_entropy"] = text_char_entropy
 
     # --- host link-graph analytics (web-graph rollups over crawl output) ---
     def graph_host_degrees(spark, sf):
@@ -2173,6 +2250,21 @@ WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
     from cocrawler_spark.operators.clustering import cc_oracle_sql
 
     s["dedup_cluster_components"] = cc_oracle_sql(s["dedup_minhash_lsh_pairs"])
+    s["dedup_keep_best"] = f"""
+WITH comps AS ({s['dedup_cluster_components']}),
+dq AS (SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+       FROM documents),
+lab AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+               d.n_tokens
+        FROM dq d LEFT JOIN comps c ON c.id = d.doc_id),
+rk AS (SELECT component, doc_id, n_tokens,
+              ROW_NUMBER() OVER (PARTITION BY component
+                                 ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY component) AS cluster_size
+       FROM lab)
+SELECT component, doc_id AS kept_id, n_tokens, cluster_size
+FROM rk WHERE rn = 1"""
+
     s["dedup_cluster_sizes"] = f"""
 WITH comps AS ({s['dedup_cluster_components']}),
 sz AS (SELECT component, COUNT(*) AS size FROM comps GROUP BY component)
@@ -2397,6 +2489,21 @@ SELECT asset_id, frame_idx, frame_idx * 1000 AS ts_ms FROM idx"""
         resolved_private_host_sql,
     )
 
+    # asset-level exact dedup: digest = md5 over hex(content); content
+    # is the repeated-md5(asset_id) synth blob, so its hex is the first
+    # 2n chars of repeat(upper(md5hex), n//16 + 1)
+    s["media_exact_dedup"] = f"""
+WITH {_media_refs},
+c AS (
+  SELECT doc_id, asset_id, CAST(256 + h0 * 7 AS BIGINT) AS n,
+         md5(substr(repeat(upper(md5(asset_id)),
+                           CAST((256 + h0 * 7) // 16 AS INT) + 1),
+                    1, 2 * (256 + h0 * 7))) AS content_digest
+  FROM hx)
+SELECT content_digest, COUNT(*) AS n_refs, COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(asset_id) AS kept_asset, MIN(n) AS n_bytes
+FROM c GROUP BY content_digest"""
+
     s["dns_resolve"] = f"""
 WITH h AS (
   SELECT DISTINCT 'h' || CAST(user_id % 50 AS VARCHAR) || '.'
@@ -2484,6 +2591,39 @@ rk AS (SELECT doc_id, tk, score,
 SELECT doc_id, tk AS term, CAST(rank AS INT) AS rank,
        ROUND(score, 6) AS score
 FROM rk WHERE rank <= 3"""
+
+    s["mix_temperature"] = f"""
+WITH t AS (SELECT source AS stratum, COUNT(*) AS n_docs,
+                  CAST(SUM(len({tokens_sql('text')})) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+z AS (SELECT SUM(n_tokens) AS tt,
+             SUM(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS zz FROM t)
+SELECT stratum, n_docs, n_tokens,
+       ROUND(n_tokens / tt, 6) AS p_raw,
+       ROUND(pow(CAST(n_tokens AS DOUBLE), 0.3) / zz, 6) AS p_temp
+FROM t, z"""
+
+    # DSIR twin: same md5 bucket hash, add-1 smoothing, smoothed-total
+    # terms factored out so both engines take ln of exact integers
+    s["text_dsir_weight"] = f"""
+WITH tokx AS (SELECT doc_id, lang, unnest({tokens_sql('text')}) AS tk
+              FROM documents),
+tb AS (SELECT doc_id, lang, ({md5_hash64_sql("tk || '#0'")}) % 256 AS b
+       FROM tokx),
+ct AS (SELECT b, COUNT(*) AS c FROM tb WHERE lang = 'en' GROUP BY b),
+cr AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY b)
+SELECT d.doc_id, COUNT(*) AS n_tokens,
+  ROUND(SUM(ln(COALESCE(ct.c, 0) + 1) - ln(cr.c + 1))
+        + COUNT(*) * (ln((SELECT SUM(c) FROM cr) + 256)
+                      - ln((SELECT SUM(c) FROM ct) + 256)), 6)
+    AS dsir_logratio
+FROM tb d LEFT JOIN ct ON d.b = ct.b JOIN cr ON d.b = cr.b
+GROUP BY d.doc_id"""
+
+    from cocrawler_spark.functions.text import char_entropy_sql
+
+    s["text_char_entropy"] = f"""
+SELECT doc_id, {char_entropy_sql('text')} FROM documents"""
 
     s["domain_quality"] = f"""
 WITH t AS (SELECT source AS domain, text, {tokens_sql('text')} AS toks FROM documents),

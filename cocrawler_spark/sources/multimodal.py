@@ -101,6 +101,43 @@ def synth_assets_from_documents(documents: DataFrame) -> DataFrame:
     return refs.mapInPandas(gen, ASSETS_DDL)
 
 
+def dedup_assets_exact(assets: DataFrame) -> DataFrame:
+    """Asset-level exact dedup by CONTENT digest — the multimodal dual
+    of document exact-dedup: the same image/video bytes referenced from
+    many pages (logos, shared CDN assets) should be decoded and
+    feature-extracted ONCE, and a training pipeline wants the
+    (digest → representative, reference count) map before any codec
+    work.
+
+    digest = md5 over the hex encoding of the content bytes (hex-string
+    route so the value has an exact DuckDB twin — DuckDB's md5() takes
+    VARCHAR only; the hex round-trip changes nothing about the dedup
+    semantics, identical bytes ⇔ identical hex).
+
+    Returns one row per distinct content blob: (content_digest, n_refs,
+    n_docs, kept_asset, n_bytes) with kept_asset = min asset_id.
+
+    Plan: a map-side digest projection (the binary column never
+    shuffles — only the 32-char digest does) + one partial-aggregated
+    groupBy on the digest. Digests are hash-uniform: no skew at any
+    corpus size."""
+    return (
+        assets.select(
+            F.md5(F.hex(F.col("content"))).alias("content_digest"),
+            "doc_id",
+            "asset_id",
+            F.col("meta.n_bytes").alias("_nb"),
+        )
+        .groupBy("content_digest")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("asset_id").alias("kept_asset"),
+            F.min("_nb").alias("n_bytes"),
+        )
+    )
+
+
 def extract_features(
     assets: DataFrame, dim: int = 16, decode_stub: bool = True
 ) -> DataFrame:

@@ -164,3 +164,37 @@ def test_pii_redaction(spark):
     assert got[0] == (1, 1, "mail me at <EMAIL> or <IP> now")
     assert got[1] == (0, 0, "no pii here")
     assert got[2] == (2, 1, "two mails <EMAIL> <EMAIL> one ip <IP>")
+
+
+def test_keep_best_representative(spark):
+    """Quality-aware survivor per component: max quality wins, ties by
+    min id; docs in no pair survive as their own singleton component."""
+    from cocrawler_spark.operators.clustering import keep_best_representative
+
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (4, 1), (10, 7)],
+        "doc_id long, q long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r["component"]: (r["kept_id"], r["q"], r["cluster_size"])
+        for r in keep_best_representative(
+            docs, pairs, "q", id_col="doc_id"
+        ).collect()
+    }
+    # component 1 = {1,2,3}: quality tie 2 vs 3 at q=9 -> min id 2 kept
+    assert out == {1: (2, 9, 3), 4: (4, 1, 1), 10: (10, 7, 1)}
+
+
+def test_keep_best_empty_pairs(spark):
+    from cocrawler_spark.operators.clustering import keep_best_representative
+
+    docs = spark.createDataFrame([(7, 3), (8, 4)], "doc_id long, q long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {
+        r["component"]: r["kept_id"]
+        for r in keep_best_representative(
+            docs, pairs, "q", id_col="doc_id"
+        ).collect()
+    }
+    assert out == {7: 7, 8: 8}

@@ -358,3 +358,117 @@ def test_hashed_linear_score_properties(spark):
         ws.append((h64(f"w1#{b}") % 2001 - 1000) / 1000.0)
     logit = (sum(ws) / len(ws)) * 4.0
     assert abs(out[2] - round(1.0 / (1.0 + math.exp(-logit)), 6)) < 1e-9
+
+
+def test_temperature_mix_weights(spark):
+    """p_temp = nt^alpha / sum nt^alpha against a pure-python mirror;
+    alpha flattens the distribution toward uniform."""
+    import math
+
+    from cocrawler_spark.operators.curation import temperature_mix_weights
+
+    rows = [
+        (1, "a b c d e f g h", "big"),
+        (2, "a b c d e f g h", "big"),
+        (3, "a b c d e f g h", "big"),
+        (4, "x y", "small"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, src string")
+    got = {
+        r["stratum"]: (r["n_docs"], r["n_tokens"], r["p_raw"], r["p_temp"])
+        for r in temperature_mix_weights(df, "src", alpha=0.3).collect()
+    }
+    nt = {"big": 24, "small": 2}
+    z = sum(v**0.3 for v in nt.values())
+    t = sum(nt.values())
+    for s, n_docs in (("big", 3), ("small", 1)):
+        gd, gt, pr, pt = got[s]
+        assert (gd, gt) == (n_docs, nt[s])
+        assert abs(pr - nt[s] / t) < 1e-6
+        assert abs(pt - nt[s] ** 0.3 / z) < 1e-6
+    # temperature upsamples the small source vs its raw share
+    assert got["small"][3] > got["small"][2]
+    assert got["big"][3] < got["big"][2]
+
+
+def test_dsir_importance_mirror(spark):
+    """Hashed-unigram log-likelihood-ratio weights vs a pure-python
+    mirror; target-like docs score above off-target docs."""
+    import hashlib
+    import math
+
+    from cocrawler_spark.operators.curation import dsir_importance
+
+    rows = [
+        (1, "the quick brown fox jumps high"),
+        (2, "the lazy brown dog sleeps"),
+        (3, "zz qq ww ee rr tt"),
+        (4, "the quick fox runs"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    target = df.filter(F.col("id") <= 2)
+    dim, seed = 64, 0
+    out = {
+        r["id"]: (r["n_tokens"], r["dsir_logratio"])
+        for r in dsir_importance(df, target, id_col="id", dim=dim, seed=seed).collect()
+    }
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def bucket(t):
+        return h64(t + f"#{seed}") % dim
+
+    ct, cr = {}, {}
+    for i, text in rows:
+        for t in _tokens(text):
+            b = bucket(t)
+            cr[b] = cr.get(b, 0) + 1
+            if i <= 2:
+                ct[b] = ct.get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    for i, text in rows:
+        toks = _tokens(text)
+        w = sum(
+            math.log(ct.get(bucket(t), 0) + 1) - math.log(cr[bucket(t)] + 1)
+            for t in toks
+        ) + len(toks) * (math.log(tr + dim) - math.log(tt + dim))
+        assert out[i][0] == len(toks)
+        assert abs(out[i][1] - w) < 1e-6
+    # docs built from target vocabulary outrank the gibberish doc
+    assert out[4][1] > out[3][1]
+
+
+def test_char_entropy_mirror(spark):
+    """Zero-shuffle char entropy vs a Counter-based mirror; degenerate
+    single-char text has entropy 0, empty text guarded to 0."""
+    import math
+    from collections import Counter
+
+    from cocrawler_spark.functions.text import char_entropy_cols
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "aaaaaaaaaaaa"),
+        (3, ""),
+        (4, "ababababab"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    c = char_entropy_cols(F.col("text"))
+    got = {
+        r["id"]: (r["n_chars"], r["n_distinct_chars"], r["char_entropy"])
+        for r in df.select(
+            "id", c["n_chars"].alias("n_chars"),
+            c["n_distinct_chars"].alias("n_distinct_chars"),
+            c["char_entropy"].alias("char_entropy"),
+        ).collect()
+    }
+    for i, text in rows:
+        n = len(text)
+        cnt = Counter(text)
+        ent = -sum((v / n) * math.log(v / n) for v in cnt.values()) if n else 0.0
+        assert got[i][0] == n
+        assert got[i][1] == len(cnt)
+        assert abs(got[i][2] - ent) < 1e-6
+    assert got[3][2] == 0.0 and got[3][1] == 0
+    assert got[1][2] > got[4][2] > got[2][2] == 0.0

@@ -121,3 +121,35 @@ def test_decode_stub_raises_without_codec(assets):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_dedup_assets_exact(assets):
+    """Asset-level content dedup vs a python mirror over the same
+    collected rows: digest groups, doc counts, min-id representative."""
+    import hashlib
+
+    from cocrawler_spark.sources.multimodal import dedup_assets_exact
+
+    rows = assets.collect()
+    mirror = {}
+    for r in rows:
+        hx = bytes(r["content"]).hex().upper()
+        dg = hashlib.md5(hx.encode()).hexdigest()
+        g = mirror.setdefault(dg, {"refs": 0, "docs": set(), "kept": None, "nb": None})
+        g["refs"] += 1
+        g["docs"].add(r["doc_id"])
+        aid, nb = r["asset_id"], r["meta"]["n_bytes"]
+        if g["kept"] is None or aid < g["kept"]:
+            g["kept"] = aid
+        g["nb"] = nb if g["nb"] is None else min(g["nb"], nb)
+    got = {
+        r["content_digest"]: (
+            r["n_refs"], r["n_docs"], r["kept_asset"], r["n_bytes"]
+        )
+        for r in dedup_assets_exact(assets).collect()
+    }
+    assert set(got) == set(mirror)
+    for dg, g in mirror.items():
+        assert got[dg] == (g["refs"], len(g["docs"]), g["kept"], g["nb"])
+    # the corpus genuinely shares assets across docs (the dedup matters)
+    assert any(len(g["docs"]) > 1 for g in mirror.values())
