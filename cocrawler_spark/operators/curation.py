@@ -208,31 +208,24 @@ def temperature_mix_weights(
     tokens^alpha / sum tokens^alpha (the total_tokens^alpha factor
     cancels), so both engines take pow of exact integers.
 
-    Plan: ONE partial-aggregated groupBy on the stratum key; the two
-    scalar totals are 1-row broadcasts. Output is |strata|-sized —
-    this costs the same at 100 TB as at 1 GB once the groupBy's
-    map-side combine has run."""
+    Plan: ONE partial-aggregated groupBy on the stratum key, then the
+    normalizing totals as an UNPARTITIONED window over the |strata|-row
+    aggregate — the window evaluates the aggregate child once (a
+    crossJoin against separate scalar aggregates would duplicate the
+    whole corpus scan in the plan tree) and its single task holds only
+    |strata| rows, which is what makes it safe at any corpus size."""
     per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
         F.count("*").alias("n_docs"),
         F.sum(token_count_col(F.col(text_col)).cast("long")).alias("n_tokens"),
     )
-    tot = per.agg(
-        F.sum("n_tokens").alias("_total"),
-        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))).alias("_z"),
-    )
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "stratum",
-            "n_docs",
-            "n_tokens",
-            F.round(F.col("n_tokens") / F.col("_total"), 6).alias("p_raw"),
-            F.round(
-                F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
-                / F.col("_z"),
-                6,
-            ).alias("p_temp"),
-        )
+    w = Window.partitionBy()
+    powa = F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    return per.select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6).alias("p_raw"),
+        F.round(powa / F.sum(powa).over(w), 6).alias("p_temp"),
     )
 
 
@@ -265,7 +258,14 @@ def dsir_importance(
     Plan shape at 100 TB: the two bucket-count tables are ``dim``-row
     aggregates (broadcast), the doc side explodes tokens once and
     re-aggregates by id — one shuffle on the doc id, no content
-    shuffle, no skew (buckets are hash-uniform)."""
+    shuffle, no skew (buckets are hash-uniform). The raw-total scalar
+    rides ON the cr table via an unpartitioned window over its dim
+    rows (cr always matches in the rejoin), so the corpus subtree
+    appears exactly twice in the plan — the explode feeding the rejoin
+    and the explode under cr's aggregate, the same irreducible-without-
+    materialization shape as unigram_logprob_score; only the TARGET
+    slice (small by definition: the curated set you want more of) is
+    also scanned for its 1-row total."""
     sfx = F.lit(f"#{seed}")
 
     def bucketed(df: DataFrame, with_id: bool) -> DataFrame:
@@ -281,10 +281,10 @@ def dsir_importance(
     ct = bucketed(target, with_id=False).groupBy("b").agg(
         F.count("*").alias("_ct")
     )
-    cr = raw_tok.groupBy("b").agg(F.count("*").alias("_cr"))
-    totals = ct.agg(F.sum("_ct").alias("_tt")).crossJoin(
-        cr.agg(F.sum("_cr").alias("_tr"))
+    cr = raw_tok.groupBy("b").agg(F.count("*").alias("_cr")).withColumn(
+        "_tr", F.sum("_cr").over(Window.partitionBy())
     )
+    target_total = ct.agg(F.sum("_ct").alias("_tt"))
     scored = (
         raw_tok.join(F.broadcast(ct), "b", "left")
         .join(F.broadcast(cr), "b")
@@ -295,9 +295,10 @@ def dsir_importance(
                 F.log(F.coalesce(F.col("_ct"), F.lit(0)) + 1)
                 - F.log(F.col("_cr") + 1)
             ).alias("_s"),
+            F.first("_tr").alias("_tr"),
         )
     )
-    return scored.crossJoin(F.broadcast(totals)).select(
+    return scored.crossJoin(F.broadcast(target_total)).select(
         "id",
         "n_tokens",
         F.round(
