@@ -558,6 +558,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding_neardup"] = dedup_embedding_neardup
 
+    def dedup_semantic(spark, sf):
+        """SemDeDup (Abbas et al. 2023): deterministic k-means over the
+        embedding table (init = k smallest-id vectors, 2 Lloyd rounds,
+        ROUND(·,6) centroids/distances), then min-id survivor among
+        within-cluster pairs with cosine ≥ 0.3. The pair join is
+        cluster-keyed — pairwise work is Σ cluster², never n²."""
+        from cocrawler_spark.operators.embedding_cluster import semdedup
+
+        emb = _ts(spark, sf, "embeddings")
+        return semdedup(emb, k=8, iters=2, threshold=0.3).select(
+            F.col("id").alias("vec_id"), "cluster"
+        )
+
+    q["dedup_semantic"] = dedup_semantic
+
+    def embedding_kmeans_sizes(spark, sf):
+        """Cluster-size histogram of the same deterministic k-means fit
+        — the diagnostic a SemDeDup run ships (cluster balance decides
+        the pair stage's cost)."""
+        from cocrawler_spark.operators.embedding_cluster import (
+            kmeans_assign, kmeans_fit,
+        )
+
+        emb = _ts(spark, sf, "embeddings")
+        cents = kmeans_fit(emb, k=8, iters=2)
+        return (
+            kmeans_assign(emb, cents)
+            .groupBy("cluster")
+            .agg(F.count("*").alias("n_members"))
+        )
+
+    q["embedding_kmeans_sizes"] = embedding_kmeans_sizes
+
     def dedup_embedding_neardup_exact(spark, sf):
         # brute-force O(n²) correctness baseline, explicit opt-in only
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
@@ -638,6 +671,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["train_pipeline_cc"] = train_pipeline_cc
+
+    def train_pipeline_keep_best(spark, sf):
+        """train_pipeline with the quality-aware survivor rule: each
+        connected component of the LSH candidate-pair graph keeps its
+        most-token member (ties min id) instead of the min-id root —
+        the CCNet/FineWeb per-cluster-representative refinement, via
+        operators/clustering.keep_best_representative chained inside
+        plans/pipeline.train_data_pipeline(survivor='quality')."""
+        from cocrawler_spark.plans.pipeline import train_data_pipeline
+
+        d = _ts(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        return train_data_pipeline(
+            d, text_col="text", id_col="id",
+            minhash_k=8, bands=4, shingle_n=3, max_bucket=1024,
+            min_tokens=5, min_alpha_ratio=0.5, min_stopword_ratio=0.0,
+            langs=("en",), survivor="quality",
+        )
+
+    q["train_pipeline_keep_best"] = train_pipeline_keep_best
 
     def train_pipeline_decon(spark, sf):
         """train_pipeline plus the benchmark-decontamination stage:
@@ -2077,12 +2131,36 @@ SELECT doc_id, CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang_pred FROM m"
     # dedup/text oracles use
     def _train_pipeline_sql(
         embed: bool, neardup: str = "pairwise", decon: bool = False,
-        clf: bool = False,
+        clf: bool = False, survivor: str = "min_id",
     ) -> str:
         # losers CTE: pairwise = docs paired with a smaller id;
         # components = every non-root member of a connected component
-        # of the candidate-pair graph (recursive reachability, exact)
-        if neardup == "components":
+        # of the candidate-pair graph (recursive reachability, exact);
+        # survivor='quality' = everyone but each component's
+        # most-token member (ties min id), singletons self-kept
+        if survivor == "quality":
+            losers_cte = f"""cpairs AS (
+  SELECT a.id AS id_a, b.id AS id_b FROM kept a JOIN kept b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+cedges AS (
+  SELECT id_a AS u, id_b AS v FROM cpairs
+  UNION SELECT id_b AS u, id_a AS v FROM cpairs),
+reach(rid, r) AS (
+  SELECT u, u FROM cedges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN cedges e ON e.u = reach.rid),
+comp AS (SELECT rid, MIN(r) AS component FROM reach GROUP BY rid),
+lab AS (
+  SELECT r.doc_id AS id, COALESCE(c.component, r.doc_id) AS component,
+         len({tokens_sql('text')}) AS _q
+  FROM reps r LEFT JOIN comp c ON r.doc_id = c.rid),
+losers AS (
+  SELECT id FROM (
+    SELECT id, ROW_NUMBER() OVER (
+      PARTITION BY component ORDER BY _q DESC, id ASC) AS rn
+    FROM lab)
+  WHERE rn > 1)"""
+        elif neardup == "components":
             losers_cte = """cpairs AS (
   SELECT a.id AS id_a, b.id AS id_b FROM kept a JOIN kept b
     ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
@@ -2128,7 +2206,11 @@ surv_d AS (SELECT * FROM surv
            WHERE id NOT IN (SELECT DISTINCT id FROM dsh JOIN esh USING (sh)))"""
         src_filter = "WHERE doc_id % 97 <> 0 " if decon else ""
         gate_src = "surv_d" if decon else ("surv2" if embed else "surv")
-        recursive = "RECURSIVE " if neardup == "components" else ""
+        recursive = (
+            "RECURSIVE "
+            if neardup == "components" or survivor == "quality"
+            else ""
+        )
         from cocrawler_spark.operators.curation import hashed_linear_score_sql
 
         _clf = hashed_linear_score_sql("text", dim=256, seed=3)
@@ -2167,6 +2249,9 @@ WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
     s["train_pipeline"] = _train_pipeline_sql(embed=False)
     s["train_pipeline_embed"] = _train_pipeline_sql(embed=True)
     s["train_pipeline_cc"] = _train_pipeline_sql(embed=False, neardup="components")
+    s["train_pipeline_keep_best"] = _train_pipeline_sql(
+        embed=False, survivor="quality"
+    )
     s["train_pipeline_decon"] = _train_pipeline_sql(embed=False, decon=True)
     s["train_pipeline_clf"] = _train_pipeline_sql(embed=False, clf=True)
 
@@ -2309,6 +2394,22 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.3"""
+
+    from cocrawler_spark.operators.embedding_cluster import (
+        kmeans_ctes, semdedup_sql,
+    )
+
+    s["dedup_semantic"] = semdedup_sql(
+        "embeddings", "embedding", "vec_id", k=8, iters=2,
+        threshold=0.3, dim=64,
+    )
+
+    _km_ctes, _km_fin = kmeans_ctes(
+        "embeddings", "embedding", "vec_id", k=8, iters=2, dim=64
+    )
+    s["embedding_kmeans_sizes"] = f"""
+WITH {_km_ctes}
+SELECT cluster, COUNT(*) AS n_members FROM {_km_fin} GROUP BY cluster"""
 
     s["text_token_bpeish"] = (
         "SELECT doc_id, CAST(len(regexp_extract_all(text, "

@@ -65,6 +65,8 @@ HEADLINE = [
     "robots_wildcard_match",
     "text_quality_classifier",
     "ann_ivfpq_topk",
+    "dedup_semantic",
+    "train_pipeline_keep_best",
 ]
 
 

@@ -49,6 +49,84 @@ from .dedup import shingle_hashes_col
 SAMPLE_DENOM = 1_000_000
 
 
+def hash_split(
+    docs: DataFrame,
+    id_col: str = "id",
+    ratios: Mapping[str, float] = None,
+    seed: int = 0,
+    denom: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: a content-independent
+    hash of the doc id buckets each doc into [0, denom), and cumulative
+    ratio thresholds (plan literals) name the split. Pure map — zero
+    shuffles, reproducible across runs/partitionings/engines, and docs
+    keep their split when the corpus grows (the property a rolling
+    crawl needs: yesterday's val doc never migrates into train).
+
+    ``ratios`` is an ordered mapping (insertion order = bucket order),
+    e.g. {'train': .9, 'val': .05, 'test': .05}; must sum to ~1."""
+    ratios = dict(ratios or {"train": 0.9, "val": 0.05, "test": 0.05})
+    bucket = F.pmod(
+        md5_hash64_col(
+            F.concat(F.lit(f"split{seed}:"), F.col(id_col).cast("string"))
+        ),
+        F.lit(denom),
+    )
+    out = docs.withColumn("split_bucket", bucket)
+    expr = None
+    acc = 0.0
+    for name, r in ratios.items():
+        acc += float(r)
+        cond = F.col("split_bucket") < int(round(acc * denom))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = list(ratios)[-1]
+    return out.withColumn("split", expr.otherwise(last))
+
+
+def hash_split_sql(
+    id_expr: str, ratios: Mapping[str, float] = None,
+    seed: int = 0, denom: int = 10_000,
+) -> tuple[str, str]:
+    """DuckDB twins of hash_split's (split_bucket, split) columns."""
+    from ..functions.text import md5_hash64_sql
+
+    ratios = dict(ratios or {"train": 0.9, "val": 0.05, "test": 0.05})
+    b = f"({md5_hash64_sql(f''''split{seed}:' || CAST({id_expr} AS VARCHAR)''')}) % {denom}"
+    acc = 0.0
+    cases = []
+    for name, r in ratios.items():
+        acc += float(r)
+        cases.append(f"WHEN ({b}) < {int(round(acc * denom))} THEN '{name}'")
+    last = list(ratios)[-1]
+    return b, f"CASE {' '.join(cases)} ELSE '{last}' END"
+
+
+def dataset_card(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum dataset card: the summary table a curated corpus
+    ships with (docs, token mass, mean quality, language diversity).
+    One scan + one hash-shuffle groupBy on the stratum key — every
+    signal is a JVM column expression computed in the same pass."""
+    from ..functions.text import langid_col, quality_cols
+
+    qc = quality_cols(F.col(text_col))
+    per = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        qc["n_tokens"].alias("_nt"),
+        qc["alpha_ratio"].alias("_ar"),
+        langid_col(F.col(text_col)).alias("_lang"),
+    )
+    return per.groupBy("stratum").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(F.avg("_ar"), 6).alias("avg_alpha_ratio"),
+        F.countDistinct("_lang").alias("n_langs"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -86,11 +86,14 @@ def train_pipeline_mirror(
     min_stopword_ratio: float = 0.0,
     langs: tuple[str, ...] = ("en",),
     neardup: str = "pairwise",
+    survivor: str = "min_id",
     eval_texts: list[str] | None = None,
 ) -> set[str]:
     """docs: {id: text} → set of surviving ids. neardup='components'
     mirrors the transitive connected-components survivor rule
     (union-find over the candidate pairs, keep each component's min).
+    survivor='quality' keeps each component's most-token member
+    instead (ties min id), mirroring keep_best_representative.
     eval_texts mirrors the optional decontamination stage: survivors
     sharing any shingle with the eval set are dropped."""
     # 1. exact collapse: min-id representative per byte-identical text
@@ -114,7 +117,7 @@ def train_pipeline_mirror(
             bkey = hashlib.md5(",".join(str(c) for c in cols).encode()).hexdigest()
             buckets.setdefault((b, bkey), []).append(i)
     losers: set[str] = set()
-    if neardup == "components":
+    if neardup == "components" or survivor == "quality":
         parent: dict[str, str] = {}
 
         def find(x: str) -> str:
@@ -140,7 +143,10 @@ def train_pipeline_mirror(
             comp.setdefault(find(x), []).append(x)
         for root, members in comp.items():
             all_m = members + [root]
-            keep = min(all_m)
+            if survivor == "quality":
+                keep = min(all_m, key=lambda m: (-quality(reps[m])["n_tokens"], m))
+            else:
+                keep = min(all_m)
             losers.update(m for m in all_m if m != keep)
     else:
         for members in buckets.values():

@@ -34,6 +34,13 @@ Near-dup survivor rule (deterministic, SQL-twinnable), two variants:
   never holds the other way: every pairwise loser is also a
   non-root). The DuckDB oracle mirrors both exactly (the components
   variant via a recursive reachability CTE).
+- ``survivor="quality"`` (implies the components labeling): instead
+  of the min-id root, each component keeps its highest-quality
+  member — most tokens, ties broken by min id (the CCNet/FineWeb
+  per-cluster-representative rule, via
+  operators/clustering.keep_best_representative). Exact-dup stage 1
+  still collapses to min-id: byte-identical texts have identical
+  quality, so the tiebreak IS the rule there.
 
 Correctness: tests/test_engine_oracle.py::test_training_pipeline_*
 asserts the surviving doc set against a pure-Python mirror on the
@@ -72,6 +79,7 @@ def train_data_pipeline(
     emb_threshold: float = 0.3,
     emb_n_planes: int = 6,
     neardup: str = "pairwise",
+    survivor: str = "min_id",
     eval_docs: Optional[DataFrame] = None,
     eval_text_col: str = "text",
     classifier_threshold: Optional[float] = None,
@@ -101,16 +109,33 @@ def train_data_pipeline(
         reps, text_col, "id", k=minhash_k, bands=bands, shingle_n=shingle_n,
         precollapse=False, max_bucket=max_bucket,
     )
-    if neardup == "components":
+    if survivor == "quality":
+        # quality-aware survivor: CC labeling (singletons are their own
+        # component) + keep the most-token member per component, ties
+        # min id — operators/clustering.keep_best_representative. The
+        # `neardup` knob is subsumed: this rule is transitive by nature.
+        from ..operators.clustering import keep_best_representative
+
+        scored = reps.withColumn(
+            "_q", quality_cols(F.col(text_col))["n_tokens"]
+        )
+        kept = keep_best_representative(scored, pairs, "_q", id_col="id")
+        survivors = reps.join(
+            kept.select(F.col("kept_id").alias("id")), "id", "left_semi"
+        )
+    elif survivor != "min_id":
+        raise ValueError(f"survivor must be 'min_id' or 'quality', got {survivor!r}")
+    elif neardup == "components":
         from ..operators.clustering import connected_components
 
         comps = connected_components(pairs, "id_a", "id_b")
         losers = comps.filter(F.col("id") != F.col("component")).select("id")
+        survivors = reps.join(losers, "id", "left_anti")
     elif neardup == "pairwise":
         losers = pairs.select(F.col("id_b").alias("id")).distinct()
+        survivors = reps.join(losers, "id", "left_anti")
     else:
         raise ValueError(f"neardup must be 'pairwise' or 'components', got {neardup!r}")
-    survivors = reps.join(losers, "id", "left_anti")
 
     # 2b. optional semantic near-dup stage: embedding-cosine pairs among
     # the survivors that have an embedding (left-semi restriction first,

@@ -1,0 +1,93 @@
+"""SemDeDup / deterministic k-means (operators/embedding_cluster.py).
+
+Graded twin: queries()['dedup_semantic'] / ['embedding_kmeans_sizes']
+vs the unrolled-CTE DuckDB oracle; here we pin the algorithmic
+invariants on hand-built fixtures.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocrawler_spark.operators.embedding_cluster import (
+    kmeans_assign, kmeans_fit, semdedup,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture()
+def two_blobs(spark):
+    # two tight blobs around (1,0,0,0) and (0,0,0,1); ids interleaved
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 1.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.1, 0.0, 0.9]),
+        (4, [0.95, 0.0, 0.05, 0.0]),
+        (5, [0.0, 0.05, 0.0, 0.95]),
+    ]
+    return _emb(spark, rows)
+
+
+def test_kmeans_two_blobs_separate(spark, two_blobs):
+    cents = kmeans_fit(two_blobs, k=2, iters=2)
+    got = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign(two_blobs, cents).collect()
+    }
+    # init = ids 0 (blob A) and 1 (blob B) → evens with 0, odds with 1
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+
+
+def test_kmeans_iters1_uses_init_centroids(spark, two_blobs):
+    # iters=1 means zero centroid updates: assignment against the two
+    # smallest-id vectors themselves
+    c1 = kmeans_fit(two_blobs, k=2, iters=1)
+    assert c1 == [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 1.0]),
+    ]
+
+
+def test_kmeans_empty_cluster_drops_out(spark):
+    # k=3 but only two real groups: init takes ids 0,1,2; after one
+    # update the centroid that loses every member disappears
+    rows = [
+        (0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0]),
+        (3, [0.0, 0.99]), (4, [0.99, 0.0]),
+    ]
+    e = _emb(spark, rows)
+    cents = kmeans_fit(e, k=3, iters=2)
+    assert len(cents) <= 3
+    assigned = kmeans_assign(e, cents)
+    assert assigned.count() == 5  # every doc still assigned somewhere
+
+
+def test_semdedup_drops_within_cluster_neardups(spark, two_blobs):
+    # cosine(0,2)=... all within-blob cosines ≥ 0.9; min-id survives
+    out = semdedup(two_blobs, k=2, iters=2, threshold=0.9)
+    assert {r["id"] for r in out.collect()} == {0, 1}
+
+
+def test_semdedup_high_threshold_keeps_all(spark, two_blobs):
+    out = semdedup(two_blobs, k=2, iters=2, threshold=1.01)
+    assert out.count() == 6
+
+
+def test_semdedup_max_cluster_exempts_big_clusters(spark, two_blobs):
+    # cap below the cluster size of 3: the pair stage sees nothing,
+    # everything survives
+    out = semdedup(two_blobs, k=2, iters=2, threshold=0.9, max_cluster=2)
+    assert out.count() == 6
+
+
+def test_semdedup_survivors_subset_and_schema(spark, two_blobs):
+    out = semdedup(two_blobs, k=2, iters=2, threshold=0.9)
+    assert dict(out.dtypes) == {"id": "bigint", "cluster": "bigint"}
+    ids = {r["id"] for r in out.collect()}
+    assert ids <= {0, 1, 2, 3, 4, 5}

@@ -191,6 +191,30 @@ def test_training_pipeline_components_matches_mirror(spark, tiny_web, tmp_path):
     assert exp <= pw
 
 
+def test_training_pipeline_keep_best_matches_mirror(spark, tiny_web, tmp_path):
+    """The quality-aware survivor rule end-to-end: each component keeps
+    its most-token member (ties min id) via keep_best_representative
+    chained inside the pipeline; must equal the union-find mirror with
+    the same argmax rule."""
+    from cocrawler_spark.functions.parse import text_of
+    from cocrawler_spark.oracle.pipeline import train_pipeline_mirror
+    from cocrawler_spark.plans.pipeline import run_training_pipeline
+
+    knobs = dict(
+        min_tokens=1, min_alpha_ratio=0.0, min_stopword_ratio=0.0,
+        langs=("en", "und"), survivor="quality",
+    )
+    e = build_engine(spark, tiny_web, CFG, tmp_path)
+    e.run()
+    got = {r["id"] for r in run_training_pipeline(e, **knobs).collect()}
+
+    res = simulate(tiny_web, CFG)
+    fetched_ok = {u for (w, u, s, st, sha, ns) in res.fetched if st == 200}
+    docs = {u: text_of(tiny_web.docs[u]) for u in fetched_ok}
+    exp = train_pipeline_mirror(docs, **knobs)
+    assert got == exp and len(got) > 0
+
+
 def test_tiny_equality_bloom_threshold_default(spark, tiny_web, tmp_path):
     """Production default bloom_min_seen: the probe stays disengaged
     below the threshold (deltas still built and staged every wave) —
