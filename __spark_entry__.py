@@ -1103,6 +1103,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_quality"] = domain_quality
 
+    def curation_hash_split(spark, sf):
+        """Deterministic train/val/test assignment: md5-hash of the doc
+        id buckets into [0, 10000), cumulative-ratio thresholds (plan
+        literals) name the split. Pure map, zero shuffles — docs keep
+        their split forever as the corpus grows."""
+        from cocrawler_spark.operators.curation import hash_split
+
+        d = _ts(spark, sf, "documents")
+        return hash_split(d, id_col="doc_id", seed=7).select(
+            "doc_id", "split_bucket", "split"
+        )
+
+    q["curation_hash_split"] = curation_hash_split
+
+    def curation_dataset_card(spark, sf):
+        """Per-source dataset card: docs, token mass, mean alpha ratio,
+        language diversity — the summary table a curated corpus ships
+        with. One scan + one |strata|-row groupBy."""
+        from cocrawler_spark.operators.curation import dataset_card
+
+        return dataset_card(
+            _ts(spark, sf, "documents"), stratum_col="source", text_col="text"
+        )
+
+    q["curation_dataset_card"] = curation_dataset_card
+
     def mix_temperature(spark, sf):
         """Temperature-scaled source-mixing weights (alpha=0.3): the
         multilingual/multi-source LM sampling rule — one |strata|-row
@@ -2741,6 +2767,32 @@ SELECT domain, COUNT(*) AS n_docs,
   ROUND(AVG(ar), 6) AS mean_alpha_ratio,
   ROUND(AVG(sr), 6) AS mean_stopword_ratio
 FROM p GROUP BY domain HAVING COUNT(*) >= 2"""
+
+    from cocrawler_spark.operators.curation import hash_split_sql
+
+    _hs_bucket, _hs_split = hash_split_sql("doc_id", seed=7)
+    s["curation_hash_split"] = f"""
+SELECT doc_id, CAST({_hs_bucket} AS BIGINT) AS split_bucket,
+       {_hs_split} AS split
+FROM documents"""
+
+    s["curation_dataset_card"] = f"""
+WITH t AS (SELECT source AS stratum, text, {tokens_sql('text')} AS toks FROM documents),
+p AS (
+  SELECT stratum, nt, ar,
+         CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END AS lang
+  FROM (
+    SELECT stratum,
+      CAST(len(toks) AS BIGINT) AS nt,
+      ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+            / greatest(length(text), 1), 6) AS ar,
+      list_max([{_langid_structs()}]) AS mx
+    FROM t))
+SELECT stratum, COUNT(*) AS n_docs,
+  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+  ROUND(AVG(ar), 6) AS avg_alpha_ratio,
+  COUNT(DISTINCT lang) AS n_langs
+FROM p GROUP BY stratum"""
 
     s["graph_host_degrees"] = """
 WITH e AS (SELECT 'h' || CAST(l_orderkey % 50 AS VARCHAR) AS src,

@@ -472,3 +472,64 @@ def test_char_entropy_mirror(spark):
         assert abs(got[i][2] - ent) < 1e-6
     assert got[3][2] == 0.0 and got[3][1] == 0
     assert got[1][2] > got[4][2] > got[2][2] == 0.0
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    """hash_split: (a) split names follow the cumulative thresholds of
+    the id-hash bucket exactly, (b) a doc's split never changes when
+    the corpus grows (content-independent), (c) proportions are
+    roughly the requested ratios at n=2000."""
+    from cocrawler_spark.operators.curation import hash_split
+
+    small = spark.range(500).withColumnRenamed("id", "doc_id")
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    r = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s_small = {
+        row["doc_id"]: row["split"]
+        for row in hash_split(small, "doc_id", r, seed=7).collect()
+    }
+    rows = hash_split(big, "doc_id", r, seed=7).collect()
+    s_big = {row["doc_id"]: row["split"] for row in rows}
+    # stability: the 500-doc corpus's assignments survive 4x growth
+    assert all(s_big[i] == s_small[i] for i in s_small)
+    # threshold rule: bucket < 8000 -> train, < 9000 -> val, else test
+    for row in rows:
+        b = row["split_bucket"]
+        exp = "train" if b < 8000 else ("val" if b < 9000 else "test")
+        assert row["split"] == exp, (b, row["split"])
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.06 < c["val"] / 2000 < 0.14
+    assert 0.06 < c["test"] / 2000 < 0.14
+    # a different seed reshuffles assignments
+    s2 = {
+        row["doc_id"]: row["split"]
+        for row in hash_split(small, "doc_id", r, seed=8).collect()
+    }
+    assert any(s2[i] != s_small[i] for i in s_small)
+
+
+def test_dataset_card_matches_python(spark):
+    """dataset_card per-stratum rollup equals a pure-Python fold of the
+    same quality/langid column semantics."""
+    from cocrawler_spark.operators.curation import dataset_card
+
+    rows = [
+        (1, "web", "the cat and the dog sat on a mat with all of them"),
+        (2, "web", "le chat et le chien dans la maison pas une que les"),
+        (3, "web", "zzz 123!!"),
+        (4, "books", "a long and winding story of the sea and the sky"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["stratum"]: (r["n_docs"], r["n_tokens"], r["n_langs"])
+        for r in dataset_card(df, "source", "text").collect()
+    }
+    assert got["web"][0] == 3 and got["books"][0] == 1
+    # token counts: whitespace/punct split, lowercased
+    assert got["web"][1] == 13 + 12 + 2
+    assert got["books"][1] == 11
+    # web has en + fr (+ und for the junk doc) = 3 langs, books en only
+    assert got["web"][2] == 3 and got["books"][2] == 1
