@@ -1129,6 +1129,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_dataset_card"] = curation_dataset_card
 
+    def curation_pack_sequences(spark, sf):
+        """Sequence packing: the corpus token stream in doc-id order cut
+        into 256-token training sequences; per-doc placement map
+        (offset, first/last sequence index). The global prefix sum is
+        range-partitioned + O(partitions) driver offsets — no
+        single-partition window at any corpus size."""
+        from cocrawler_spark.operators.curation import pack_sequences
+
+        return pack_sequences(
+            _ts(spark, sf, "documents"), ctx_len=256,
+            text_col="text", id_col="doc_id",
+        )
+
+    q["curation_pack_sequences"] = curation_pack_sequences
+
     def mix_temperature(spark, sf):
         """Temperature-scaled source-mixing weights (alpha=0.3): the
         multilingual/multi-source LM sampling rule — one |strata|-row
@@ -2793,6 +2808,21 @@ SELECT stratum, COUNT(*) AS n_docs,
   ROUND(AVG(ar), 6) AS avg_alpha_ratio,
   COUNT(DISTINCT lang) AS n_langs
 FROM p GROUP BY stratum"""
+
+    s["curation_pack_sequences"] = f"""
+WITH t AS (SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t WHERE n_tokens > 0)
+SELECT doc_id, n_tokens,
+  CAST(cum - n_tokens AS BIGINT) AS tok_start,
+  CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS first_seq,
+  CAST(floor((cum - 1) / 256) AS BIGINT) AS last_seq,
+  CAST(floor((cum - 1) / 256) - floor((cum - n_tokens) / 256) + 1 AS BIGINT)
+    AS n_seqs
+FROM c"""
 
     s["graph_host_degrees"] = """
 WITH e AS (SELECT 'h' || CAST(l_orderkey % 50 AS VARCHAR) AS src,

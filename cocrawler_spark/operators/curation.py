@@ -770,3 +770,49 @@ def hashed_linear_score_sql(
         f" / len({toks}) ELSE 0.0 END"
     )
     return f"ROUND(1.0 / (1.0 + exp(-(({mean}) * 4.0 + {float(bias)}))), 6)"
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int,
+    text_col: str = "text",
+    id_col: str = "id",
+    num_partitions: Optional[int] = None,
+    persisted: Optional[list] = None,
+) -> DataFrame:
+    """Sequence packing: concatenate every doc's token stream in
+    ascending-id order and cut the stream into fixed ``ctx_len``
+    training sequences (GPT-style pretraining packing — documents
+    cross sequence boundaries, nothing is padded or dropped). Returns
+    the per-doc placement map a dataloader shards by:
+    (id, n_tokens, tok_start, first_seq, last_seq, n_seqs), where
+    tok_start is the doc's 0-based offset in the global token stream
+    and first/last_seq are the ctx-window indices it lands in.
+
+    Zero-token docs contribute nothing to the stream and are excluded.
+
+    Scale shape: the only global state is the prefix sum of token
+    counts, computed by ordering.with_global_cumsum (range exchange +
+    O(partitions) driver offsets) — no single-partition window, so the
+    packing map of a 10^10-doc corpus is one shuffle. Everything after
+    the cumsum is arithmetic on plan literals."""
+    from .ordering import with_global_cumsum
+
+    out = docs.select(
+        F.col(id_col), token_count_col(F.col(text_col)).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    out = with_global_cumsum(
+        out, [id_col], "n_tokens", out_col="cum_tokens",
+        num_partitions=num_partitions, persisted=persisted,
+    )
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    first = F.floor(start / ctx_len).cast("long")
+    last = F.floor((F.col("cum_tokens") - 1) / ctx_len).cast("long")
+    return out.select(
+        id_col,
+        "n_tokens",
+        start.alias("tok_start"),
+        first.alias("first_seq"),
+        last.alias("last_seq"),
+        (last - first + 1).alias("n_seqs"),
+    )

@@ -67,3 +67,60 @@ def with_global_seq(
         .drop("_pid", "_local")
     )
     return out
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+    persisted: list | None = None,
+) -> DataFrame:
+    """Attach the global running total of `sum_col` following
+    `order_cols` (inclusive of the current row) — the distributed
+    prefix sum. Same two-pass shape as with_global_seq: range
+    partition on the order keys, per-partition PARTIAL SUMS collected
+    to the driver (O(partitions) rows, never data), then a
+    per-partition window cumsum shifted by the driver-computed offset.
+    No single-partition window at any size.
+
+    The range-partitioned intermediate is persisted so both passes
+    share one shuffle; appended to `persisted` (if given) for the
+    caller to unpersist after materialization."""
+    p = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    part = (
+        df.repartitionByRange(int(p), *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persisted is not None:
+        persisted.append(part)
+    sums = {
+        r["_pid"]: r["s"]
+        for r in part.groupBy("_pid")
+        .agg(F.sum(sum_col).alias("s"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+    if offsets:
+        mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    else:
+        mapping = F.create_map()
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.withColumn("_local", F.sum(sum_col).over(w))
+        .withColumn(
+            out_col,
+            (F.col("_local") + F.coalesce(mapping[F.col("_pid")], F.lit(0))).cast("long"),
+        )
+        .drop("_pid", "_local")
+    )

@@ -533,3 +533,43 @@ def test_dataset_card_matches_python(spark):
     assert got["books"][1] == 11
     # web has en + fr (+ und for the junk doc) = 3 langs, books en only
     assert got["web"][2] == 3 and got["books"][2] == 1
+
+
+def test_pack_sequences_contiguous_stream(spark):
+    """pack_sequences invariants: offsets tile the token stream with no
+    gaps or overlaps in id order; sequence indices follow the ctx
+    arithmetic; zero-token docs are excluded; result is independent of
+    input partitioning."""
+    from cocrawler_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range(((i * 37) % 23) + (0 if i % 11 else -((i * 37) % 23)))) ) for i in range(1, 120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (
+            (r["doc_id"], r["n_tokens"], r["tok_start"], r["first_seq"],
+             r["last_seq"], r["n_seqs"])
+            for r in pack_sequences(df, 16, "text", "doc_id").collect()
+        )
+    )
+    # contiguity
+    off = 0
+    for _id, nt, start, fs, ls, ns in got:
+        assert nt > 0
+        assert start == off
+        assert fs == start // 16
+        assert ls == (start + nt - 1) // 16
+        assert ns == ls - fs + 1
+        off += nt
+    # zero-token docs (i % 11 == 0 got empty text) are excluded
+    ids = {g[0] for g in got}
+    zero_ids = {i for i in range(1, 120) if i % 11 == 0 or (i * 37) % 23 == 0}
+    assert ids.isdisjoint(zero_ids) and len(zero_ids) > 0
+    assert ids == set(range(1, 120)) - zero_ids
+    # repartition invariance
+    got2 = sorted(
+        (
+            (r["doc_id"], r["tok_start"])
+            for r in pack_sequences(df.repartition(7), 16, "text", "doc_id").collect()
+        )
+    )
+    assert got2 == [(g[0], g[2]) for g in got]
