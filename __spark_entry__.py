@@ -1144,6 +1144,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pack_sequences"] = curation_pack_sequences
 
+    def text_gopher_gate(spark, sf):
+        """The Gopher quality-filter rule set (Rae et al. 2021 §A1.1) as
+        one zero-shuffle gate: token-count window, mean-word-length
+        window, alphabetic-word fraction, stopword presence, duplicate
+        trigram fraction — reason = first failing rule, null = keep."""
+        from cocrawler_spark.functions.text import gopher_gate_cols
+
+        d = _ts(spark, sf, "documents")
+        g = gopher_gate_cols(F.col("text"))
+        return d.select(
+            "doc_id",
+            g["n_tokens"].alias("n_tokens"),
+            g["keep"].alias("keep"),
+            g["reason"].alias("reason"),
+        )
+
+    q["text_gopher_gate"] = text_gopher_gate
+
+    def embedding_random_projection(spark, sf):
+        """JL sign-matrix random projection 64 → 16 dims (Achlioptas
+        2003): the compress-before-ANN/cluster map. Zero shuffles —
+        the matrix is plan literals; one row per (id, dim) keeps the
+        graded output scalar-typed."""
+        from cocrawler_spark.operators.similarity import random_projection
+
+        return random_projection(
+            _ts(spark, sf, "embeddings"), out_dim=16, in_dim=64, seed=1
+        )
+
+    q["embedding_random_projection"] = embedding_random_projection
+
     def mix_temperature(spark, sf):
         """Temperature-scaled source-mixing weights (alpha=0.3): the
         multilingual/multi-source LM sampling rule — one |strata|-row
@@ -2823,6 +2854,16 @@ SELECT doc_id, n_tokens,
   CAST(floor((cum - 1) / 256) - floor((cum - n_tokens) / 256) + 1 AS BIGINT)
     AS n_seqs
 FROM c"""
+
+    from cocrawler_spark.functions.text import gopher_gate_sql
+
+    s["text_gopher_gate"] = gopher_gate_sql("text")
+
+    from cocrawler_spark.operators.similarity import random_projection_sql
+
+    s["embedding_random_projection"] = random_projection_sql(
+        "embeddings", "embedding", "vec_id", out_dim=16, in_dim=64, seed=1
+    )
 
     s["graph_host_degrees"] = """
 WITH e AS (SELECT 'h' || CAST(l_orderkey % 50 AS VARCHAR) AS src,

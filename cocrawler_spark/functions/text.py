@@ -343,3 +343,96 @@ def normalize_text_sql(expr: str) -> str:
         f"trim(regexp_replace(nfc_normalize({expr}), "
         f"'{_WS_RUN_PATTERN}', ' ', 'g'))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher composite quality gate — the published rule set as ONE pass
+# ---------------------------------------------------------------------------
+
+GOPHER_RULES = (
+    # (name, default threshold) — evaluation order IS the reason order
+    ("too_few_tokens", 30),       # n_tokens < t
+    ("too_many_tokens", 100_000), # n_tokens > t
+    ("mean_token_len_low", 3.0),  # mean token length < t
+    ("mean_token_len_high", 10.0),# mean token length > t
+    ("alpha_word_frac", 0.8),     # frac of tokens containing a letter < t
+    ("stopwords", 1),             # count of stoplist tokens < t
+    ("dup_trigrams", 0.05),       # duplicate-trigram fraction > t
+)
+
+
+def gopher_gate_cols(text: Column, thresholds: dict | None = None) -> dict[str, Column]:
+    """The Gopher quality-filter rule set (Rae et al. 2021, §A1.1)
+    composed into one deterministic gate: token-count window, mean
+    word length window, alphabetic-word fraction, stopword presence,
+    duplicate-trigram fraction. Returns (n_tokens, keep, reason) where
+    ``reason`` is the FIRST failing rule in GOPHER_RULES order (null
+    when the doc passes). Every signal is a JVM column expression over
+    one tokenization — the whole gate is a zero-shuffle map."""
+    t = {k: v for k, v in GOPHER_RULES}
+    t.update(thresholds or {})
+    toks = tokens_col(text)
+    n = F.size(toks).cast("long")
+    mtl = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    ).cast("double") / F.greatest(n, F.lit(1))
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("double")
+        / F.greatest(n, F.lit(1))
+    )
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+    g3 = _ngrams_col(toks, 3)
+    dup3 = F.lit(1.0) - F.size(F.array_distinct(g3)) / F.greatest(
+        F.size(g3), F.lit(1)
+    )
+    checks = [
+        ("too_few_tokens", n < int(t["too_few_tokens"])),
+        ("too_many_tokens", n > int(t["too_many_tokens"])),
+        ("mean_token_len_low", mtl < float(t["mean_token_len_low"])),
+        ("mean_token_len_high", mtl > float(t["mean_token_len_high"])),
+        ("alpha_word_frac", alpha_frac < float(t["alpha_word_frac"])),
+        ("stopwords", n_stop < int(t["stopwords"])),
+        ("dup_trigrams", dup3 > float(t["dup_trigrams"])),
+    ]
+    reason = None
+    for name, cond in checks:
+        reason = F.when(cond, name) if reason is None else reason.when(cond, name)
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    return {"n_tokens": n, "reason": reason, "keep": reason.isNull()}
+
+
+def gopher_gate_sql(expr: str, thresholds: dict | None = None) -> str:
+    """DuckDB twin of gopher_gate_cols — a full SELECT over documents
+    producing (doc_id, n_tokens, keep, reason)."""
+    t = {k: v for k, v in GOPHER_RULES}
+    t.update(thresholds or {})
+    en_list = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    g3 = (
+        "list_transform(range(1, greatest(len(tk) - 2, 1) + 1), "
+        "i -> array_to_string(tk[i:i+2], ' '))"
+    )
+    checks = [
+        ("too_few_tokens", f"n < {int(t['too_few_tokens'])}"),
+        ("too_many_tokens", f"n > {int(t['too_many_tokens'])}"),
+        ("mean_token_len_low", f"mtl < {float(t['mean_token_len_low'])}"),
+        ("mean_token_len_high", f"mtl > {float(t['mean_token_len_high'])}"),
+        ("alpha_word_frac", f"af < {float(t['alpha_word_frac'])}"),
+        ("stopwords", f"ns < {int(t['stopwords'])}"),
+        ("dup_trigrams", f"d3 > {float(t['dup_trigrams'])}"),
+    ]
+    cases = " ".join(f"WHEN {cond} THEN '{name}'" for name, cond in checks)
+    return f"""
+WITH t AS (SELECT doc_id, {tokens_sql(expr)} AS tk FROM documents),
+sig AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n,
+    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+      / greatest(len(tk), 1) AS mtl,
+    CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+      / greatest(len(tk), 1) AS af,
+    len(list_filter(tk, x -> list_contains([{en_list}], x))) AS ns,
+    1.0 - len(list_distinct({g3})) / greatest(len({g3}), 1) AS d3
+  FROM t),
+lab AS (SELECT doc_id, n, CASE {cases} ELSE NULL END AS reason FROM sig)
+SELECT doc_id, n AS n_tokens, reason IS NULL AS keep, reason FROM lab"""

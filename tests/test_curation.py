@@ -573,3 +573,63 @@ def test_pack_sequences_contiguous_stream(spark):
         )
     )
     assert got2 == [(g[0], g[2]) for g in got]
+
+
+def test_gopher_gate_matches_python(spark):
+    """gopher_gate_cols equals a pure-Python evaluation of the same
+    rule list on adversarial docs — one doc per failure reason plus
+    clean passes; reason is the FIRST failing rule."""
+    from cocrawler_spark.functions.text import (
+        GOPHER_RULES,
+        STOPWORDS,
+        gopher_gate_cols,
+    )
+
+    clean = "the cat and the dog sat on a mat with " + " ".join(
+        f"word{i} thing{i} stuff{i}" for i in range(10)
+    )
+    rows = [
+        (1, clean),                                   # pass
+        (2, "the short one"),                         # too_few_tokens
+        (3, " ".join("9999999999" for _ in range(40))  # numbers: alpha frac 0
+             + " the of and in is"),                  # -> alpha_word_frac? or dup
+        (4, " ".join(f"w{i}" for i in range(40))),    # no stopwords
+        (5, ("the cat sat " * 20) + " ".join(f"u{i}" for i in range(20))),  # dup trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    g = gopher_gate_cols(F.col("text"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["keep"], r["reason"])
+        for r in df.select(
+            "doc_id", g["n_tokens"].alias("n_tokens"),
+            g["keep"].alias("keep"), g["reason"].alias("reason"),
+        ).collect()
+    }
+
+    t = dict(GOPHER_RULES)
+    en = set(STOPWORDS["en"])
+    for i, text in rows:
+        toks = _tokens(text)
+        n = len(toks)
+        mtl = sum(map(len, toks)) / max(n, 1)
+        af = sum(1 for x in toks if re.search("[a-z]", x)) / max(n, 1)
+        ns = sum(1 for x in toks if x in en)
+        k = max(n - 2, 1)
+        g3 = [" ".join(toks[j : j + 3]) for j in range(k)]
+        d3 = 1.0 - len(set(g3)) / max(len(g3), 1)
+        reason = None
+        for name, cond in [
+            ("too_few_tokens", n < t["too_few_tokens"]),
+            ("too_many_tokens", n > t["too_many_tokens"]),
+            ("mean_token_len_low", mtl < t["mean_token_len_low"]),
+            ("mean_token_len_high", mtl > t["mean_token_len_high"]),
+            ("alpha_word_frac", af < t["alpha_word_frac"]),
+            ("stopwords", ns < t["stopwords"]),
+            ("dup_trigrams", d3 > t["dup_trigrams"]),
+        ]:
+            if cond:
+                reason = name
+                break
+        assert got[i] == (n, reason is None, reason), (i, got[i], reason)
+    # the fixture is adversarial: at least 3 distinct failure reasons
+    assert len({v[2] for v in got.values() if v[2]}) >= 3

@@ -111,3 +111,40 @@ def test_ivfpq_candidates_and_signal(spark):
     # on this fixture; chance over the probed pool is ~0.05)
     exact = _topk_sets(cosine_topk_bruteforce(emb, queries, k=5))
     assert _recall(pq_top, exact) >= 0.2
+
+
+def test_random_projection_mirror_and_jl_property(spark):
+    """random_projection equals a pure-Python mirror exactly (same sign
+    matrix, fold order, rounding), and the JL property holds on the
+    driver embeddings: squared norms are preserved in expectation
+    (mean ratio within ±30% at out_dim=16)."""
+    from cocrawler_spark.operators.similarity import (
+        random_projection,
+        rp_sign_matrix,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).filter(
+        F.col("vec_id") < 50
+    )
+    rows = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    got = {}
+    for r in random_projection(emb, out_dim=16, in_dim=64, seed=1).collect():
+        got.setdefault(r["vec_id"], {})[r["dim"]] = r["value"]
+
+    mat = rp_sign_matrix(64, 16, seed=1)
+    scale = 1.0 / 16 ** 0.5
+    ratios = []
+    for vid, v in rows.items():
+        proj = []
+        for j in range(16):
+            acc = 0.0
+            for i in range(64):
+                acc += float(v[i]) * mat[j][i]
+            proj.append(round(acc * scale, 6))
+        assert [got[vid][j] for j in range(16)] == pytest.approx(proj, abs=2e-6)
+        n_in = sum(float(x) * float(x) for x in v)
+        n_out = sum(p * p for p in proj)
+        if n_in > 0:
+            ratios.append(n_out / n_in)
+    mean = sum(ratios) / len(ratios)
+    assert 0.7 < mean < 1.3, mean
