@@ -1175,6 +1175,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_random_projection"] = embedding_random_projection
 
+    def curation_curriculum(spark, sf):
+        """Length-curriculum phases: rank docs by (token count, id) and
+        cut into 4 equal-population phases — phase 0 = shortest. The
+        global rank is range-partitioned (no single-partition window);
+        total is a plan literal from the same pass."""
+        from cocrawler_spark.operators.curation import curriculum_phases
+
+        d = _ts(spark, sf, "documents").select(
+            "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+        )
+        return curriculum_phases(
+            d, "n_tokens", n_phases=4, id_col="doc_id"
+        ).select("doc_id", "n_tokens", "seq", "phase")
+
+    q["curation_curriculum"] = curation_curriculum
+
     def mix_temperature(spark, sf):
         """Temperature-scaled source-mixing weights (alpha=0.3): the
         multilingual/multi-source LM sampling rule — one |strata|-row
@@ -2839,6 +2855,17 @@ SELECT stratum, COUNT(*) AS n_docs,
   ROUND(AVG(ar), 6) AS avg_alpha_ratio,
   COUNT(DISTINCT lang) AS n_langs
 FROM p GROUP BY stratum"""
+
+    s["curation_curriculum"] = f"""
+WITH t AS (SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens
+           FROM documents),
+r AS (SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS seq,
+             COUNT(*) OVER () AS tot
+      FROM t)
+SELECT doc_id, n_tokens, CAST(seq AS BIGINT) AS seq,
+       CAST(floor((seq - 1) * 4.0 / tot) AS INT) AS phase
+FROM r"""
 
     s["curation_pack_sequences"] = f"""
 WITH t AS (SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tokens

@@ -816,3 +816,31 @@ def pack_sequences(
         last.alias("last_seq"),
         (last - first + 1).alias("n_seqs"),
     )
+
+
+def curriculum_phases(
+    docs: DataFrame,
+    score_col: str,
+    n_phases: int = 4,
+    id_col: str = "id",
+    num_partitions: Optional[int] = None,
+    persisted: Optional[list] = None,
+) -> DataFrame:
+    """Curriculum ordering: rank docs by (score, id) ascending and cut
+    the ranking into ``n_phases`` equal-population training phases —
+    phase = floor((rank-1)·n/total), so phase 0 is the easiest quartile
+    (e.g. shortest docs for a length curriculum). Exact global
+    quantiles with NO single-partition window: the rank comes from
+    ordering.with_global_seq (range exchange + O(partitions) driver
+    offsets), and total is a plan literal from the same pass."""
+    from .ordering import with_global_seq
+
+    total_out: dict = {}
+    out = with_global_seq(
+        docs, [score_col, id_col], seq_col="seq",
+        num_partitions=num_partitions, persisted=persisted,
+        total_out=total_out,
+    )
+    total = max(int(total_out.get("total", 0)), 1)
+    phase = F.floor((F.col("seq") - 1) * int(n_phases) / total).cast("int")
+    return out.withColumn("phase", phase)

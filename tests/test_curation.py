@@ -633,3 +633,34 @@ def test_gopher_gate_matches_python(spark):
         assert got[i] == (n, reason is None, reason), (i, got[i], reason)
     # the fixture is adversarial: at least 3 distinct failure reasons
     assert len({v[2] for v in got.values() if v[2]}) >= 3
+
+
+def test_curriculum_phases_equal_population(spark):
+    """curriculum_phases: exact global quantile cut — phases are
+    equal-population (±1), ordered by the score with id tiebreak, and
+    invariant to input partitioning."""
+    from collections import Counter
+
+    from cocrawler_spark.operators.curation import curriculum_phases
+
+    rows = [(i, (i * 31) % 97) for i in range(1, 202)]
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    got = {
+        r["doc_id"]: (r["seq"], r["phase"])
+        for r in curriculum_phases(df, "score", 4, id_col="doc_id").collect()
+    }
+    exp_order = sorted(rows, key=lambda t: (t[1], t[0]))
+    total = len(rows)
+    for rank, (i, _s) in enumerate(exp_order, start=1):
+        assert got[i][0] == rank
+        assert got[i][1] == (rank - 1) * 4 // total
+    sizes = Counter(p for _seq, p in got.values())
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    got2 = {
+        r["doc_id"]: (r["seq"], r["phase"])
+        for r in curriculum_phases(
+            df.repartition(13), "score", 4, id_col="doc_id"
+        ).collect()
+    }
+    assert got2 == got
