@@ -1191,6 +1191,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_curriculum"] = curation_curriculum
 
+    def train_pipeline_packed(spark, sf):
+        """The whole curation chain as ONE plan: crawl-doc table →
+        exact + LSH near-dup dedup → quality/langid gates (=
+        train_data_pipeline) → deterministic hash train/val/test split
+        → per-split sequence packing. The per-split token prefix sum is
+        the grouped range-exchange cumsum (ordering.with_grouped_cumsum)
+        — no single-partition window even when one split holds the
+        whole corpus."""
+        from cocrawler_spark.operators.curation import hash_split
+        from cocrawler_spark.operators.ordering import with_grouped_cumsum
+        from cocrawler_spark.plans.pipeline import train_data_pipeline
+
+        d = _ts(spark, sf, "documents").select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        surv = train_data_pipeline(
+            d, text_col="text", id_col="id",
+            minhash_k=8, bands=4, shingle_n=3, max_bucket=1024,
+            min_tokens=5, min_alpha_ratio=0.5, min_stopword_ratio=0.0,
+            langs=("en",),
+        )
+        sp = hash_split(surv, id_col="id", seed=7).select(
+            "id", "split", "n_tokens"
+        )
+        c = with_grouped_cumsum(
+            sp, ["split"], ["id"], "n_tokens", out_col="cum_tokens"
+        )
+        start = F.col("cum_tokens") - F.col("n_tokens")
+        return c.select(
+            "id", "split", "n_tokens",
+            start.alias("tok_start"),
+            F.floor(start / 256).cast("long").alias("first_seq"),
+        )
+
+    q["train_pipeline_packed"] = train_pipeline_packed
+
     def mix_temperature(spark, sf):
         """Temperature-scaled source-mixing weights (alpha=0.3): the
         multilingual/multi-source LM sampling rule — one |strata|-row
@@ -2340,6 +2376,21 @@ WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
     s["train_pipeline_keep_best"] = _train_pipeline_sql(
         embed=False, survivor="quality"
     )
+    from cocrawler_spark.operators.curation import hash_split_sql as _hss
+
+    _pk_bucket, _pk_split = _hss("id", seed=7)
+    s["train_pipeline_packed"] = f"""
+WITH base AS (SELECT id, n_tokens FROM ({_train_pipeline_sql(embed=False)}) tp),
+sp AS (SELECT id, n_tokens, {_pk_split} AS split FROM base),
+c AS (SELECT id, split, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY split ORDER BY id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM sp)
+SELECT id, split, n_tokens,
+  CAST(cum - n_tokens AS BIGINT) AS tok_start,
+  CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS first_seq
+FROM c"""
+
     s["train_pipeline_decon"] = _train_pipeline_sql(embed=False, decon=True)
     s["train_pipeline_clf"] = _train_pipeline_sql(embed=False, clf=True)
 

@@ -124,3 +124,77 @@ def with_global_cumsum(
         )
         .drop("_pid", "_local")
     )
+
+
+def with_grouped_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    sum_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+    persisted: list | None = None,
+) -> DataFrame:
+    """Per-group running total of `sum_col` following `order_cols`
+    WITHIN each group (inclusive) — the grouped prefix sum, for groups
+    far too large for a single window partition (e.g. packing a corpus
+    per train/val/test split). Range-partition on (group, order) keys
+    so each group's rows are contiguous across partitions, collect the
+    per-(partition, group) partial sums (O(partitions + groups) rows —
+    a boundary partition holds at most 2 groups' partials beyond its
+    own), and shift each partition's local window cumsum by the
+    driver-computed offset for its (group, partition) pair.
+
+    The offset map is compiled into the plan as literals — suited to
+    small group cardinality (splits, languages, shards); with millions
+    of groups use a join against an offsets table instead. Group
+    values must render identically via str() and CAST(string) (strings
+    and integers do)."""
+    from collections import defaultdict
+
+    p = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    keys = [F.col(c) for c in list(group_cols) + list(order_cols)]
+    part = (
+        df.repartitionByRange(int(p), *keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persisted is not None:
+        persisted.append(part)
+    rows = (
+        part.groupBy("_pid", *group_cols)
+        .agg(F.sum(sum_col).alias("s"))
+        .collect()
+    )
+    per_group: dict = defaultdict(list)
+    for r in rows:
+        gkey = "\x00".join(str(r[c]) for c in group_cols)
+        per_group[gkey].append((int(r["_pid"]), int(r["s"] or 0)))
+    offsets = {}
+    for gkey, lst in per_group.items():
+        acc = 0
+        for pid, sm in sorted(lst):
+            offsets[f"{gkey}\x00{pid}"] = acc
+            acc += sm
+    if offsets:
+        mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    else:
+        mapping = F.create_map()
+    mkey = F.concat_ws(
+        "\x00",
+        *[F.col(c).cast("string") for c in group_cols],
+        F.col("_pid").cast("string"),
+    )
+    w = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        part.withColumn("_local", F.sum(sum_col).over(w))
+        .withColumn(
+            out_col,
+            (F.col("_local") + F.coalesce(mapping[mkey], F.lit(0))).cast("long"),
+        )
+        .drop("_pid", "_local")
+    )

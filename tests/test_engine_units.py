@@ -159,3 +159,35 @@ def test_sized_write_partitioning(spark):
     assert CrawlEngine._sized(df, 50_000_000).rdd.getNumPartitions() == 32
     # unknown -> untouched
     assert CrawlEngine._sized(df, None).rdd.getNumPartitions() == 32
+
+
+def test_with_grouped_cumsum_matches_per_group_fold(spark):
+    """with_grouped_cumsum: per-group inclusive running totals equal a
+    pure-Python fold for every group, independent of input partitioning
+    and with groups big enough to span several range partitions."""
+    from cocrawler_spark.operators.ordering import with_grouped_cumsum
+
+    rows = [
+        (i, ["train", "val", "test"][i % 7 % 3], (i * 13) % 9 + 1)
+        for i in range(1, 301)
+    ]
+    df = spark.createDataFrame(rows, "id long, split string, w long")
+    got = {
+        (r["split"], r["id"]): r["cum"]
+        for r in with_grouped_cumsum(
+            df.repartition(11), ["split"], ["id"], "w", num_partitions=8
+        ).collect()
+    }
+    assert len(got) == 300
+    acc: dict = {}
+    for i, s, w in sorted(rows):
+        acc[s] = acc.get(s, 0) + w
+        assert got[(s, i)] == acc[s], (s, i, got[(s, i)], acc[s])
+    # a second partitioning must not change any value
+    got2 = {
+        (r["split"], r["id"]): r["cum"]
+        for r in with_grouped_cumsum(
+            df.repartition(3), ["split"], ["id"], "w", num_partitions=16
+        ).collect()
+    }
+    assert got2 == got
