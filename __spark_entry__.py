@@ -1227,6 +1227,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pipeline_packed"] = train_pipeline_packed
 
+    def text_ccnet_buckets(spark, sf):
+        """CCNet head/middle/tail bucketing (Wenzek et al. 2020): rank
+        docs by corpus-fit bigram-LM score (low = most predictable =
+        head) and cut the ranking into equal-population terciles via
+        the range-partitioned curriculum ranker — the LM-perplexity
+        bucketing stage of the CCNet pipeline, no single-partition
+        window."""
+        from cocrawler_spark.operators.curation import (
+            bigram_logprob_score,
+            curriculum_phases,
+        )
+
+        sc = bigram_logprob_score(
+            _ts(spark, sf, "documents"), text_col="text", id_col="doc_id"
+        ).select("id", "avg_neg_logprob2")
+        ph = curriculum_phases(sc, "avg_neg_logprob2", n_phases=3, id_col="id")
+        names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+        return ph.select(
+            F.col("id").alias("doc_id"),
+            "avg_neg_logprob2",
+            "seq",
+            F.element_at(names, F.col("phase") + 1).alias("bucket"),
+        )
+
+    q["text_ccnet_buckets"] = text_ccnet_buckets
+
     def mix_temperature(spark, sf):
         """Temperature-scaled source-mixing weights (alpha=0.3): the
         multilingual/multi-source LM sampling rule — one |strata|-row
@@ -3302,6 +3328,18 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
        ROUND(AVG(ln(c1) - ln(c2)), 6) AS avg_neg_logprob2
 FROM bgf JOIN pc USING (w1, w2) JOIN hc USING (w1)
 GROUP BY doc_id"""
+
+    s["text_ccnet_buckets"] = f"""
+WITH b AS (SELECT doc_id, avg_neg_logprob2
+           FROM ({s['text_bigram_logprob']}) blm),
+r AS (SELECT doc_id, avg_neg_logprob2,
+             ROW_NUMBER() OVER (ORDER BY avg_neg_logprob2, doc_id) AS seq,
+             COUNT(*) OVER () AS tot
+      FROM b)
+SELECT doc_id, avg_neg_logprob2, CAST(seq AS BIGINT) AS seq,
+       (['head', 'middle', 'tail'])[CAST(floor((seq - 1) * 3.0 / tot) AS INT) + 1]
+         AS bucket
+FROM r"""
 
     from cocrawler_spark.functions.text import md5_hash64_sql as _mh
 
