@@ -664,3 +664,28 @@ def test_curriculum_phases_equal_population(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_random_projection_and_gopher_gate_plans_are_map_only(spark):
+    """Zero-shuffle claims pinned: neither the JL projection nor the
+    Gopher gate may put an Exchange in the physical plan."""
+    from cocrawler_spark.functions.text import gopher_gate_cols
+    from cocrawler_spark.operators.similarity import random_projection
+
+    emb = spark.createDataFrame(
+        [(i, [float(j) for j in range(8)]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    p1 = (
+        random_projection(emb, out_dim=4, in_dim=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p1
+
+    docs = _docs_df(spark, DOCS)
+    g = gopher_gate_cols(F.col("text"))
+    p2 = (
+        docs.select("id", g["keep"].alias("keep"), g["reason"].alias("reason"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p2

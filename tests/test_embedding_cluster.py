@@ -91,3 +91,29 @@ def test_semdedup_survivors_subset_and_schema(spark, two_blobs):
     assert dict(out.dtypes) == {"id": "bigint", "cluster": "bigint"}
     ids = {r["id"] for r in out.collect()}
     assert ids <= {0, 1, 2, 3, 4, 5}
+
+
+def test_semdedup_pair_join_plan_is_cluster_keyed(spark):
+    """The SemDeDup pair stage must be an equi-join on the cluster key —
+    never a cartesian / nested-loop product — and the assignment map
+    must be exchange-free (centroids are plan literals)."""
+    from cocrawler_spark.operators.embedding_cluster import (
+        kmeans_assign,
+        semdedup,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = (
+        semdedup(df, k=4, iters=2, threshold=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # assignment alone: a pure map — no Exchange in the plan at all
+    cents = [(0, [0.0] * 8), (1, [1.0] * 8)]
+    aplan = (
+        kmeans_assign(df, cents)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in aplan
