@@ -1253,6 +1253,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_ccnet_buckets"] = text_ccnet_buckets
 
+    def sketch_cms_tokens(spark, sf):
+        """Count-min sketch (Cormode & Muthukrishnan 2005) over the
+        corpus token stream: d=4 × w=256 cells from ONE map-side-
+        combined groupBy; the probe is a literal-map min over the d
+        rows. Estimate graded next to the exact count (CMS never
+        underestimates). Top-50 hottest tokens."""
+        from cocrawler_spark.operators.sketches import cms_token_counts
+
+        out = cms_token_counts(_ts(spark, sf, "documents"), "text", d=4, w=256)
+        return out.orderBy(
+            F.desc("true_count"), F.asc("token")
+        ).limit(50)
+
+    q["sketch_cms_tokens"] = sketch_cms_tokens
+
+    def sketch_hll_users(spark, sf):
+        """HyperLogLog (Flajolet et al. 2007, m=64) distinct-user
+        estimate per event type, small-range linear-counting correction
+        included — graded next to the exact countDistinct. The register
+        build is one (group × 64)-key groupBy; no distinct shuffle of
+        the raw values."""
+        from cocrawler_spark.operators.sketches import hll_distinct
+
+        return hll_distinct(
+            _ts(spark, sf, "events"), "event_type", "user_id", m=64
+        )
+
+    q["sketch_hll_users"] = sketch_hll_users
+
     def mix_temperature(spark, sf):
         """Temperature-scaled source-mixing weights (alpha=0.3): the
         multilingual/multi-source LM sampling rule — one |strata|-row
@@ -3328,6 +3357,20 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
        ROUND(AVG(ln(c1) - ln(c2)), 6) AS avg_neg_logprob2
 FROM bgf JOIN pc USING (w1, w2) JOIN hc USING (w1)
 GROUP BY doc_id"""
+
+    from cocrawler_spark.operators.sketches import (
+        cms_token_counts_sql,
+        hll_distinct_sql,
+    )
+
+    s["sketch_cms_tokens"] = (
+        cms_token_counts_sql("text", "documents", d=4, w=256)
+        + "\nORDER BY true_count DESC, token ASC LIMIT 50"
+    )
+
+    s["sketch_hll_users"] = hll_distinct_sql(
+        "event_type", "user_id", "events", m=64
+    )
 
     s["text_ccnet_buckets"] = f"""
 WITH b AS (SELECT doc_id, avg_neg_logprob2
