@@ -1282,6 +1282,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sketch_hll_users"] = sketch_hll_users
 
+    def sliding_window_counts(spark, sf):
+        """Sliding-window aggregation via Spark's native window()
+        operator (10-min windows, 5-min slide — every event lands in
+        exactly 2 windows): per (window, event_type) counts + value
+        sums, window start emitted as epoch seconds so the graded
+        output stays scalar-typed. The same expression works unchanged
+        under readStream + watermark — this is the batch twin of the
+        streaming tumbling/sliding path."""
+        e = _t(spark, sf, "events")
+        w = F.window(F.col("ts"), "10 minutes", "5 minutes")
+        return (
+            e.groupBy(w.alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .select(
+                # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC,
+                # so the cast is identity and unix_seconds resolves
+                F.unix_seconds(
+                    F.col("w").getField("start").cast("timestamp")
+                ).alias("win_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    q["sliding_window_counts"] = sliding_window_counts
+
+    def url_trap_templates(spark, sf):
+        """Crawler-trap detection by path templating: digit runs in the
+        path collapse to {d}, so calendar/infinite spaces become ONE
+        template whose URL count explodes. Deterministic URL fabric:
+        docs % 4 == 0 are calendar pages /cal/{y}/{m}/{d} on their
+        host, the rest articles /art/{id}. A template is flagged when
+        it is deep (>= 4 segments) AND hot (>= 10 URLs on its host)."""
+        from cocrawler_spark.functions.urls import url_template_cols
+
+        d = _ts(spark, sf, "documents")
+        did = F.col("doc_id")
+        url = F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("http://h"), (did % 10).cast("string"),
+                F.lit(".test/cal/"), (2000 + did % 30).cast("string"),
+                F.lit("/"), (did % 12 + 1).cast("string"),
+                F.lit("/"), (did % 28 + 1).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("http://h"), (did % 10).cast("string"),
+                F.lit(".test/art/"), did.cast("string"),
+            )
+        )
+        c = url_template_cols(url)
+        g = (
+            d.select(
+                c["host"].alias("host"),
+                c["template"].alias("template"),
+                c["path"].alias("p"),
+            )
+            .groupBy("host", "template")
+            .agg(
+                F.count("*").alias("n_urls"),
+                F.countDistinct("p").alias("n_distinct"),
+            )
+        )
+        depth = F.size(F.split(F.col("template"), "/")) - 1
+        return g.withColumn(
+            "is_trap", (depth >= 4) & (F.col("n_urls") >= 10)
+        )
+
+    q["url_trap_templates"] = url_trap_templates
+
     def mix_temperature(spark, sf):
         """Temperature-scaled source-mixing weights (alpha=0.3): the
         multilingual/multi-source LM sampling rule — one |strata|-row
@@ -3371,6 +3446,37 @@ GROUP BY doc_id"""
     s["sketch_hll_users"] = hll_distinct_sql(
         "event_type", "user_id", "events", m=64
     )
+
+    from cocrawler_spark.functions.urls import url_template_sql
+
+    _utc = url_template_sql("url")
+    s["url_trap_templates"] = f"""
+WITH u AS (
+  SELECT CASE WHEN doc_id % 4 = 0 THEN
+    'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test/cal/' ||
+    CAST(2000 + doc_id % 30 AS VARCHAR) || '/' ||
+    CAST(doc_id % 12 + 1 AS VARCHAR) || '/' ||
+    CAST(doc_id % 28 + 1 AS VARCHAR)
+  ELSE 'http://h' || CAST(doc_id % 10 AS VARCHAR) || '.test/art/' ||
+       CAST(doc_id AS VARCHAR) END AS url
+  FROM documents),
+t AS (SELECT {_utc['host']} AS host, {_utc['template']} AS template,
+             {_utc['path']} AS p
+      FROM u),
+g AS (SELECT host, template, COUNT(*) AS n_urls,
+             COUNT(DISTINCT p) AS n_distinct
+      FROM t GROUP BY host, template)
+SELECT host, template, n_urls, n_distinct,
+       (len(string_split(template, '/')) - 1 >= 4 AND n_urls >= 10) AS is_trap
+FROM g"""
+
+    s["sliding_window_counts"] = """
+WITH ev AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events),
+x AS (SELECT (tu // 300000000) * 300 - 300 * i.i AS win_start, event_type, value
+      FROM ev CROSS JOIN range(0, 2) i(i))
+SELECT CAST(win_start AS BIGINT) AS win_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM x GROUP BY 1, 2"""
 
     s["text_ccnet_buckets"] = f"""
 WITH b AS (SELECT doc_id, avg_neg_logprob2

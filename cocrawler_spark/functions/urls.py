@@ -448,3 +448,35 @@ def strip_tracking_params_sql(expr: str) -> dict[str, str]:
         "url_stripped": join(kept),
         "dedup_key": join(f"list_sort({kept})"),
     }
+
+
+# ---------------------------------------------------------------------------
+# URL path templating — crawler-trap detection
+# ---------------------------------------------------------------------------
+
+def url_template_cols(url: Column) -> dict[str, Column]:
+    """Path-template mining for crawler-trap detection: collapse every
+    digit run in the URL path to ``{d}`` so calendar pages, session
+    ids, and paginated infinite spaces collapse to ONE template whose
+    URL count explodes while its static siblings stay small. Returns
+    (host, template). Frontier policy then caps or deprioritizes
+    templates whose count per host crosses a budget — the classic
+    defense against /cal/2024/1/1-style infinite spaces. Pure map."""
+    no_scheme = F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://", "")
+    host = F.regexp_extract(no_scheme, r"^([^/]+)", 1)
+    path = F.regexp_replace(no_scheme, r"^[^/]*", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    template = F.regexp_replace(path, "[0-9]+", "{d}")
+    return {"host": host, "template": template, "path": path}
+
+
+def url_template_sql(url_expr: str) -> dict[str, str]:
+    """DuckDB twins of url_template_cols."""
+    no_scheme = f"regexp_replace({url_expr}, '^[a-z][a-z0-9+.-]*://', '')"
+    host = f"regexp_extract({no_scheme}, '^([^/]+)', 1)"
+    path = f"CASE WHEN regexp_replace({no_scheme}, '^[^/]*', '') = '' THEN '/' ELSE regexp_replace({no_scheme}, '^[^/]*', '') END"
+    return {
+        "host": host,
+        "template": f"regexp_replace({path}, '[0-9]+', '{{d}}', 'g')",
+        "path": path,
+    }

@@ -202,3 +202,31 @@ def test_strip_tracking_params(spark):
     ).fetchall()
     for url, s_, k_ in rows:
         assert got[url] == (s_, k_), f"duckdb twin diverges on {url}"
+
+
+def test_url_template_cols(spark):
+    """Digit runs collapse to {d} in the PATH only; host preserved;
+    bare-host URLs get path '/'."""
+    from cocrawler_spark.functions.urls import url_template_cols
+
+    rows = [
+        (1, "http://h9.test/cal/2024/1/28"),
+        (2, "https://a.example.com/art/12345"),
+        (3, "http://b2.test"),
+        (4, "http://c.test/x/y"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "id long, url string")
+    c = url_template_cols(F.col("url"))
+    got = {
+        r["id"]: (r["host"], r["template"])
+        for r in df.select(
+            "id", c["host"].alias("host"), c["template"].alias("template")
+        ).collect()
+    }
+    assert got[1] == ("h9.test", "/cal/{d}/{d}/{d}")
+    assert got[2] == ("a.example.com", "/art/{d}")
+    # digits in the HOST are untouched; empty path becomes '/'
+    assert got[3] == ("b2.test", "/")
+    assert got[4] == ("c.test", "/x/y")
