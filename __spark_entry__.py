@@ -1357,6 +1357,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["url_trap_templates"] = url_trap_templates
 
+    def text_top_ngram_frac(spark, sf):
+        """Gopher's top-n-gram repetition rule: fraction of the doc's
+        characters inside its most frequent word 2-/3-gram — catches
+        one repeated navigation phrase that the overall duplicate-gram
+        fraction misses. Zero-shuffle map."""
+        from cocrawler_spark.functions.text import top_ngram_char_frac_cols
+
+        d = _ts(spark, sf, "documents")
+        c = top_ngram_char_frac_cols(F.col("text"))
+        return d.select(
+            "doc_id",
+            c["top_2gram_char_frac"].alias("top_2gram_char_frac"),
+            c["top_3gram_char_frac"].alias("top_3gram_char_frac"),
+        )
+
+    q["text_top_ngram_frac"] = text_top_ngram_frac
+
     def mix_temperature(spark, sf):
         """Temperature-scaled source-mixing weights (alpha=0.3): the
         multilingual/multi-source LM sampling rule — one |strata|-row
@@ -3469,6 +3486,10 @@ g AS (SELECT host, template, COUNT(*) AS n_urls,
 SELECT host, template, n_urls, n_distinct,
        (len(string_split(template, '/')) - 1 >= 4 AND n_urls >= 10) AS is_trap
 FROM g"""
+
+    from cocrawler_spark.functions.text import top_ngram_char_frac_sql
+
+    s["text_top_ngram_frac"] = top_ngram_char_frac_sql("text")
 
     s["sliding_window_counts"] = """
 WITH ev AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events),

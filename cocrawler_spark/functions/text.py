@@ -436,3 +436,58 @@ sig AS (
   FROM t),
 lab AS (SELECT doc_id, n, CASE {cases} ELSE NULL END AS reason FROM sig)
 SELECT doc_id, n AS n_tokens, reason IS NULL AS keep, reason FROM lab"""
+
+
+def top_ngram_char_frac_cols(text: Column, ns: tuple = (2, 3)) -> dict[str, Column]:
+    """The other half of the Gopher repetition rules (Rae et al. 2021
+    §A1.1): the fraction of the document's characters contained in its
+    MOST FREQUENT word n-gram (count · len(gram) / n_chars). Template
+    pages repeating one navigation phrase light this up even when the
+    overall duplicate-gram fraction stays low. Winner = max count, ties
+    broken toward the lexicographically larger gram (array_max struct
+    order — mirrored exactly in the DuckDB twin). Computed INSIDE the
+    row (distinct grams × occurrence count via filter-size), so the
+    whole signal is a zero-shuffle map; per-row cost is O(grams ·
+    distinct grams) on ordinary docs."""
+    toks = tokens_col(text)
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    out: dict[str, Column] = {}
+    for n in ns:
+        g = _ngrams_col(toks, n)
+        d = F.array_distinct(g)
+        best = F.array_max(
+            F.transform(
+                d,
+                lambda x: F.struct(
+                    F.size(F.filter(g, lambda y: y == x)).alias("c"),
+                    x.alias("gr"),
+                ),
+            )
+        )
+        frac = (best["c"] * F.length(best["gr"])).cast("double") / n_chars
+        out[f"top_{n}gram_char_frac"] = F.round(frac, 6)
+    return out
+
+
+def top_ngram_char_frac_sql(expr: str, ns: tuple = (2, 3)) -> str:
+    """DuckDB twin of top_ngram_char_frac_cols — full SELECT over
+    documents producing (doc_id, top_2gram_char_frac, ...)."""
+    cols = []
+    for n in ns:
+        g = (
+            f"list_transform(range(1, greatest(len(tk) - {n - 1}, 1) + 1), "
+            f"i -> array_to_string(tk[i:i+{n - 1}], ' '))"
+        )
+        best = (
+            f"list_max(list_transform(list_distinct({g}), "
+            f"x -> {{'c': len(list_filter({g}, y -> y = x)), 'gr': x}}))"
+        )
+        cols.append(
+            f"ROUND(({best}).c * length(({best}).gr) "
+            f"/ CAST(greatest(length(text), 1) AS DOUBLE), 6) "
+            f"AS top_{n}gram_char_frac"
+        )
+    return (
+        f"SELECT doc_id, {', '.join(cols)} "
+        f"FROM (SELECT doc_id, text, {tokens_sql('text')} AS tk FROM documents)"
+    )

@@ -689,3 +689,40 @@ def test_random_projection_and_gopher_gate_plans_are_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in p2
+
+
+def test_top_ngram_char_frac_matches_python(spark):
+    """top_ngram_char_frac: most-frequent n-gram char mass over doc
+    chars, tie toward the lexicographically larger gram."""
+    from collections import Counter
+
+    from cocrawler_spark.functions.text import top_ngram_char_frac_cols
+
+    rows = [
+        (1, "home page home page home page contact"),
+        (2, "all distinct words in this one sentence"),
+        (3, "x y x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = top_ngram_char_frac_cols(F.col("text"))
+    got = {
+        r["doc_id"]: (r["f2"], r["f3"])
+        for r in df.select(
+            "doc_id",
+            c["top_2gram_char_frac"].alias("f2"),
+            c["top_3gram_char_frac"].alias("f3"),
+        ).collect()
+    }
+    for i, text in rows:
+        toks = _tokens(text)
+        nch = max(len(text), 1)
+        exp = []
+        for n in (2, 3):
+            k = max(len(toks) - (n - 1), 1)
+            grams = [" ".join(toks[j : j + n]) for j in range(k)]
+            cnt = Counter(grams)
+            best = max(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+            exp.append(round(best[1] * len(best[0]) / nch, 6))
+        assert got[i] == tuple(exp), (i, got[i], exp)
+    # doc 1's repeated phrase dominates; doc 2 is flat
+    assert got[1][0] > got[2][0]
