@@ -594,3 +594,61 @@ def test_resume_config_mismatch_raises(spark, tiny_web, tmp_path):
     e3 = build_engine(spark, tiny_web, CFG.with_(max_waves=CFG.max_waves + 1), tmp_path)
     e3.resume(max_waves=CFG.max_waves)
     assert_engine_matches_oracle(e3, simulate(tiny_web, CFG))
+
+
+def test_training_pipeline_split_pack_matches_mirror(spark, tiny_web, tmp_path):
+    """Crawl -> pipeline survivors -> hash split -> per-split sequence
+    packing, all on engine outputs, vs a pure-Python mirror: the split
+    assignment is the md5-bucket rule and the per-split token offsets
+    are an id-ordered fold within each split."""
+    import hashlib
+
+    from cocrawler_spark.functions.parse import text_of
+    from cocrawler_spark.functions.text import STOPWORDS  # noqa: F401 (parity import)
+    from cocrawler_spark.operators.curation import hash_split
+    from cocrawler_spark.operators.ordering import with_grouped_cumsum
+    from cocrawler_spark.oracle.pipeline import train_pipeline_mirror
+    from cocrawler_spark.plans.pipeline import run_training_pipeline
+
+    # lorem-ipsum synth text mostly classifies fr ("et" hits the fr
+    # stoplist) — allow every language so the survivor set is large
+    # enough to spread across splits
+    knobs = dict(
+        min_tokens=1, min_alpha_ratio=0.0, min_stopword_ratio=0.0,
+        langs=("en", "und", "fr", "de", "es"),
+    )
+    e = build_engine(spark, tiny_web, CFG, tmp_path)
+    e.run()
+    surv = run_training_pipeline(e, **knobs)
+    ratios = {"train": 0.5, "val": 0.3, "test": 0.2}
+    sp = hash_split(surv, id_col="id", ratios=ratios, seed=3).select(
+        "id", "split", "n_tokens"
+    )
+    packed = with_grouped_cumsum(sp, ["split"], ["id"], "n_tokens", out_col="cum")
+    got = {
+        r["id"]: (r["split"], r["cum"] - r["n_tokens"])
+        for r in packed.collect()
+    }
+
+    res = simulate(tiny_web, CFG)
+    fetched_ok = {u for (w, u, s, st, sha, ns) in res.fetched if st == 200}
+    docs = {u: text_of(tiny_web.docs[u]) for u in fetched_ok}
+    exp_ids = train_pipeline_mirror(docs, **knobs)
+
+    import re as _re
+
+    def _ntok(t):
+        return len([x for x in _re.split("[^a-z0-9]+", t.lower()) if x])
+
+    def _split(i):
+        b = int(hashlib.md5(f"split3:{i}".encode()).hexdigest()[:15], 16) % 10_000
+        return "train" if b < 5000 else ("val" if b < 8000 else "test")
+
+    exp = {}
+    offsets = {}
+    for i in sorted(exp_ids):
+        s = _split(i)
+        exp[i] = (s, offsets.get(s, 0))
+        offsets[s] = offsets.get(s, 0) + _ntok(docs[i])
+    assert got == exp and len(got) > 0
+    assert len({v[0] for v in got.values()}) >= 2  # non-degenerate split
