@@ -272,7 +272,10 @@ def char_entropy_cols(text: Column) -> dict[str, Column]:
 def char_entropy_sql(expr: str) -> str:
     """DuckDB twin of char_entropy_cols (select-list fragment producing
     the same three columns)."""
-    u = f"list_distinct(string_split({expr}, ''))"
+    # list_filter matches the Spark side's F.filter(..., c != ""): DuckDB's
+    # string_split('', '') yields [''] so an unfiltered distinct would count
+    # 1 char on empty text where Spark counts 0.
+    u = f"list_distinct(list_filter(string_split({expr}, ''), c -> c <> ''))"
     p = (
         f"(length({expr}) - length(replace({expr}, ch, '')))"
         f" / CAST(length({expr}) AS DOUBLE)"
@@ -362,10 +365,17 @@ GOPHER_RULES = (
 
 
 def gopher_gate_cols(text: Column, thresholds: dict | None = None) -> dict[str, Column]:
-    """The Gopher quality-filter rule set (Rae et al. 2021, §A1.1)
-    composed into one deterministic gate: token-count window, mean
-    word length window, alphabetic-word fraction, stopword presence,
-    duplicate-trigram fraction. Returns (n_tokens, keep, reason) where
+    """A Gopher-STYLE quality gate (after Rae et al. 2021, §A1.1) with
+    repo defaults — NOT a faithful reproduction of the published
+    thresholds: min word count defaults to 30 (paper: 50), the stopword
+    rule requires ≥1 hit against this repo's 10-word stoplist (paper:
+    ≥2 of its 8-word list), and the paper's symbol-ratio, ellipsis-line
+    and bullet-line rules are intentionally out of scope here (the
+    repetition side lives in repetition/top_ngram_char_frac ops).
+    Callers wanting published-threshold behavior pass ``thresholds``.
+    The gate composes: token-count window, mean word length window,
+    alphabetic-word fraction, stopword presence, duplicate-trigram
+    fraction. Returns (n_tokens, keep, reason) where
     ``reason`` is the FIRST failing rule in GOPHER_RULES order (null
     when the doc passes). Every signal is a JVM column expression over
     one tokenization — the whole gate is a zero-shuffle map."""
@@ -438,7 +448,9 @@ lab AS (SELECT doc_id, n, CASE {cases} ELSE NULL END AS reason FROM sig)
 SELECT doc_id, n AS n_tokens, reason IS NULL AS keep, reason FROM lab"""
 
 
-def top_ngram_char_frac_cols(text: Column, ns: tuple = (2, 3)) -> dict[str, Column]:
+def top_ngram_char_frac_cols(
+    text: Column, ns: tuple = (2, 3), max_tokens: int = 100_000
+) -> dict[str, Column]:
     """The other half of the Gopher repetition rules (Rae et al. 2021
     §A1.1): the fraction of the document's characters contained in its
     MOST FREQUENT word n-gram (count · len(gram) / n_chars). Template
@@ -448,8 +460,12 @@ def top_ngram_char_frac_cols(text: Column, ns: tuple = (2, 3)) -> dict[str, Colu
     order — mirrored exactly in the DuckDB twin). Computed INSIDE the
     row (distinct grams × occurrence count via filter-size), so the
     whole signal is a zero-shuffle map; per-row cost is O(grams ·
-    distinct grams) on ordinary docs."""
-    toks = tokens_col(text)
+    distinct grams) on ordinary docs. ``max_tokens`` (the Gopher gate's
+    too-many-tokens ceiling by default) bounds that product — a
+    pathological multi-million-token doc is scored on its first
+    ``max_tokens`` words instead of stalling an executor core; the SQL
+    twin applies the identical truncation."""
+    toks = F.slice(tokens_col(text), 1, int(max_tokens))
     n_chars = F.greatest(F.length(text), F.lit(1))
     out: dict[str, Column] = {}
     for n in ns:
@@ -469,9 +485,12 @@ def top_ngram_char_frac_cols(text: Column, ns: tuple = (2, 3)) -> dict[str, Colu
     return out
 
 
-def top_ngram_char_frac_sql(expr: str, ns: tuple = (2, 3)) -> str:
+def top_ngram_char_frac_sql(
+    expr: str, ns: tuple = (2, 3), max_tokens: int = 100_000
+) -> str:
     """DuckDB twin of top_ngram_char_frac_cols — full SELECT over
-    documents producing (doc_id, top_2gram_char_frac, ...)."""
+    documents producing (doc_id, top_2gram_char_frac, ...) from the
+    column/expression ``expr``, with the same ``max_tokens`` cap."""
     cols = []
     for n in ns:
         g = (
@@ -484,10 +503,11 @@ def top_ngram_char_frac_sql(expr: str, ns: tuple = (2, 3)) -> str:
         )
         cols.append(
             f"ROUND(({best}).c * length(({best}).gr) "
-            f"/ CAST(greatest(length(text), 1) AS DOUBLE), 6) "
+            f"/ CAST(greatest(length(_txt), 1) AS DOUBLE), 6) "
             f"AS top_{n}gram_char_frac"
         )
     return (
         f"SELECT doc_id, {', '.join(cols)} "
-        f"FROM (SELECT doc_id, text, {tokens_sql('text')} AS tk FROM documents)"
+        f"FROM (SELECT doc_id, {expr} AS _txt, "
+        f"({tokens_sql(expr)})[1:{int(max_tokens)}] AS tk FROM documents)"
     )

@@ -151,7 +151,7 @@ def semdedup(
                 F.col("vb").cast("array<double>"),
             ),
         )
-        .filter(F.col("cos") >= float(threshold))
+        .filter(F.round(F.col("cos"), 6) >= float(threshold))
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
@@ -219,8 +219,9 @@ losers AS (
   FROM {fin} a JOIN {fin} b ON a.cluster = b.cluster AND a.{id_} < b.{id_}
   JOIN {tbl} ea ON ea.{id_} = a.{id_}
   JOIN {tbl} eb ON eb.{id_} = b.{id_}
-  WHERE list_cosine_similarity(CAST(ea.{vec} AS DOUBLE[]),
-                               CAST(eb.{vec} AS DOUBLE[])) >= {threshold})
+  WHERE ROUND(list_cosine_similarity(CAST(ea.{vec} AS DOUBLE[]),
+                                     CAST(eb.{vec} AS DOUBLE[])), 6)
+        >= {threshold})
 SELECT f.{id_}, f.cluster
 FROM {fin} f
 WHERE f.{id_} NOT IN (SELECT id FROM losers)"""

@@ -726,3 +726,80 @@ def test_top_ngram_char_frac_matches_python(spark):
         assert got[i] == tuple(exp), (i, got[i], exp)
     # doc 1's repeated phrase dominates; doc 2 is flat
     assert got[1][0] > got[2][0]
+
+
+def test_char_entropy_sql_twin_empty_text(spark):
+    """Spark ↔ DuckDB parity for char_entropy INCLUDING empty text:
+    DuckDB's string_split('', '') yields [''] so the twin must filter
+    empties (n_distinct_chars 0, entropy 0.0) to match the Spark side
+    — media-only pages with empty text are realistic crawl inputs."""
+    import duckdb
+
+    from cocrawler_spark.functions.text import (
+        char_entropy_cols, char_entropy_sql,
+    )
+
+    rows = [(1, "the quick brown fox"), (2, ""), (3, "aaaa"), (4, "ab")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = char_entropy_cols(F.col("text"))
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_distinct_chars"], r["char_entropy"])
+        for r in df.select(
+            "doc_id",
+            c["n_chars"].alias("n_chars"),
+            c["n_distinct_chars"].alias("n_distinct_chars"),
+            c["char_entropy"].alias("char_entropy"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"SELECT doc_id, {char_entropy_sql('text')} FROM documents"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[2] == (0, 0, 0.0)
+
+
+def test_top_ngram_sql_twin_honors_expr_and_cap(spark):
+    """top_ngram_char_frac_sql must tokenize the PASSED expression (not
+    a hardcoded 'text') and both engines must truncate to max_tokens
+    identically."""
+    import duckdb
+
+    from cocrawler_spark.functions.text import (
+        top_ngram_char_frac_cols, top_ngram_char_frac_sql,
+    )
+
+    rows = [
+        (1, "HOME Page HOME Page HOME Page contact"),
+        (2, "x y x y z " * 6),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    c = top_ngram_char_frac_cols(F.lower(F.col("text")), max_tokens=6)
+    got = {
+        r["doc_id"]: (r["f2"], r["f3"])
+        for r in df.select(
+            "doc_id",
+            c["top_2gram_char_frac"].alias("f2"),
+            c["top_3gram_char_frac"].alias("f3"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") t(doc_id, text)"
+    )
+    sql = top_ngram_char_frac_sql("lower(text)", max_tokens=6)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want
