@@ -12,11 +12,18 @@ clusters from the pair stage exactly like operators/dedup.py's
 ``max_bucket``.
 
 Spark-first shapes:
-- Lloyd iteration = one narrow map (assign: argmin squared-L2 against
-  k·dim plan literals — zero shuffle) + one hash-shuffle groupBy
-  (centroid update: posexplode → avg per (cluster, dim)). The k·dim
-  centroid table is collected to the driver per iteration (k≤10³,
-  dim≤10³ → ≤8 MB — a dim table, not data).
+- Lloyd iteration, small k (k·dim ≤ KMEANS_LITERAL_CELL_CEILING): one
+  narrow map (assign: argmin squared-L2 against k·dim plan literals —
+  zero shuffle) + one hash-shuffle groupBy (centroid update:
+  posexplode → avg per (cluster, dim)); the centroid table round-trips
+  through the driver (≤8 MB — a dim table, not data).
+- Lloyd iteration, large k (SemDeDup's own regime, k ≈ n/10⁴ → 10⁶
+  clusters at 10^10 docs): centroids stay a DataFrame end to end —
+  assignment is a broadcast join + per-id min-struct groupBy
+  (kmeans_assign_join), updates never touch the driver
+  (kmeans_fit_df), lineage cut per round by localCheckpoint.
+  kmeans_label dispatches between the two; the outputs are identical
+  (same init, ROUND(·,6), tie rules — equality pinned by test).
 - The pair stage is a cluster-keyed self-equi-join (shuffle key =
   cluster id), never a cross product.
 
@@ -72,6 +79,132 @@ def kmeans_assign(
     )
 
 
+def _sqdist_cols(a, b):
+    """Squared L2 between two array columns — the same left-fold in
+    double as _sqdist_lit, so the join path and the literal path agree
+    bit for bit on identical centroid values."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign_join(
+    emb: DataFrame,
+    cents_df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The LARGE-k assignment path: (id, vec) × broadcast centroid
+    DataFrame (cluster, centroid) → (id, cluster) via per-id min over
+    (ROUND(sqdist, 6), cluster) structs — identical tie rule to
+    kmeans_assign. SemDeDup's own design point (k ≈ n/10⁴ → 10⁶
+    clusters at 10^10 docs) cannot ride in the plan as k·dim literals
+    or round-trip through the driver; here the centroids are a
+    broadcast dim table and the argmin is a map-side-combining groupBy
+    (each row's k candidates sit in one partition after the broadcast
+    join, so the exchange carries n rows, not n·k)."""
+    j = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(cents_df.select("cluster", "centroid")))
+    d = F.round(
+        _sqdist_cols(F.col("_v"), F.col("centroid").cast("array<double>")), 6
+    )
+    scored = j.select(
+        "id",
+        F.struct(d.alias("d"), F.col("cluster").cast("long").alias("c")).alias(
+            "s"
+        ),
+    )
+    return scored.groupBy("id").agg(
+        F.min("s")["c"].cast("long").alias("cluster")
+    )
+
+
+def kmeans_fit_df(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kmeans_fit without the driver round-trip: centroids stay a
+    DataFrame (cluster, centroid array<double>) end to end — init = the
+    k smallest-id vectors, update = posexplode → ROUND(AVG, 6) per
+    (cluster, pos) → array_sort(collect_list) rebuild. Each round is
+    localCheckpoint-ed (k rows) to cut the iterative lineage, the same
+    discipline as graph.py's PageRank loop. Semantically identical to
+    kmeans_fit (same init, rounding, tie rules; empty clusters drop
+    out) — pinned by test_kmeans_join_path_equals_literal_path."""
+    from pyspark.sql import Window
+
+    base = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            F.col(id_col).alias("_iid"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+    w = Window.orderBy(F.col("_iid").asc())
+    cents = base.select(
+        (F.row_number().over(w) - 1).cast("long").alias("cluster"),
+        "centroid",
+    ).localCheckpoint(eager=True)
+    for _ in range(iters - 1):
+        assigned = kmeans_assign_join(emb, cents, vec_col, id_col)
+        ex = assigned.join(
+            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
+            "id",
+        ).select("cluster", F.posexplode(F.col("_v").cast("array<double>")))
+        cents = (
+            ex.groupBy("cluster", "pos")
+            .agg(F.round(F.avg("col"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+# k·dim plan-literal budget: above this the literal assignment path is
+# a scale-killer (the plan string itself grows with k·dim and the fit
+# collects k·dim means per round) — dispatch to the broadcast-join path.
+KMEANS_LITERAL_CELL_CEILING = 65_536
+
+
+def kmeans_label(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Fit + final assignment → (id, cluster), dispatching on k·dim:
+    literal path (plan-embedded centroids, zero-shuffle assign) under
+    KMEANS_LITERAL_CELL_CEILING, broadcast-join path above it. Both
+    paths share init, ROUND(·, 6) and tie rules, so the label output is
+    identical — the ceiling is a physical-plan choice, not semantics."""
+    if dim is None:
+        first = emb.select(F.size(F.col(vec_col))).first()
+        dim = int(first[0]) if first is not None else 0
+    if k * max(dim, 1) <= KMEANS_LITERAL_CELL_CEILING:
+        cents = kmeans_fit(emb, k, iters, vec_col, id_col)
+        return kmeans_assign(emb, cents, vec_col, id_col)
+    cents = kmeans_fit_df(emb, k, iters, vec_col, id_col)
+    return kmeans_assign_join(emb, cents, vec_col, id_col)
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,
@@ -123,8 +256,7 @@ def semdedup(
     ``max_cluster`` (optional) exempts oversized clusters from the
     pair stage — they pass through undeduped but loggable, never
     quadratic."""
-    cents = kmeans_fit(emb, k, iters, vec_col, id_col)
-    assigned = kmeans_assign(emb, cents, vec_col, id_col)
+    assigned = kmeans_label(emb, k, iters, vec_col, id_col)
     withv = assigned.join(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
         "id",
@@ -173,33 +305,37 @@ def kmeans_ctes(
     k: int = 8,
     iters: int = 2,
     dim: int = 64,
+    prefix: str = "",
 ) -> tuple[str, str]:
-    """Returns (cte_text, final_assign_name): c0 = k smallest-id
-    vectors, then per iteration aN (argmin assignment, ROUND(d,6) +
-    cluster-id tiebreak) and cN+1 (per-dim ROUND(AVG,6) means)."""
+    """Returns (cte_text, final_assign_name): {p}c0 = k smallest-id
+    vectors, then per iteration {p}aN (argmin assignment, ROUND(d,6) +
+    cluster-id tiebreak) and {p}cN+1 (per-dim ROUND(AVG,6) means).
+    ``prefix`` namespaces the CTEs so several independent k-means
+    chains (e.g. one per PQ subspace) can share one WITH clause."""
+    p = prefix
     parts = [
-        f"""c0 AS (
+        f"""{p}c0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY {id_}) - 1 AS c, CAST({vec} AS DOUBLE[]) AS v
   FROM (SELECT {id_}, {vec} FROM {tbl} ORDER BY {id_} LIMIT {k}))"""
     ]
     for it in range(iters):
         dist = _sq_sql(f"e.{vec}", "c.v")
-        parts.append(f"""a{it} AS (
+        parts.append(f"""{p}a{it} AS (
   SELECT {id_}, cluster FROM (
     SELECT e.{id_}, c.c AS cluster,
            ROW_NUMBER() OVER (PARTITION BY e.{id_}
              ORDER BY ROUND({dist}, 6) ASC, c.c ASC) AS rn
-    FROM {tbl} e CROSS JOIN c{it} c)
+    FROM {tbl} e CROSS JOIN {p}c{it} c)
   WHERE rn = 1)""")
         if it < iters - 1:
-            parts.append(f"""c{it + 1} AS (
+            parts.append(f"""{p}c{it + 1} AS (
   SELECT c, list(m ORDER BY i) AS v FROM (
     SELECT a.cluster AS c, t.i, ROUND(AVG(CAST(e.{vec}[t.i] AS DOUBLE)), 6) AS m
-    FROM a{it} a JOIN {tbl} e USING ({id_})
+    FROM {p}a{it} a JOIN {tbl} e USING ({id_})
     CROSS JOIN range(1, {dim} + 1) t(i)
     GROUP BY a.cluster, t.i)
   GROUP BY c)""")
-    return ",\n".join(parts), f"a{iters - 1}"
+    return ",\n".join(parts), f"{p}a{iters - 1}"
 
 
 def semdedup_sql(

@@ -713,3 +713,354 @@ WITH m AS (
   FROM range(0, {out_dim}) t(dim))
 SELECT e.{id_}, m.dim, ROUND({dot} * {scale!r}, {round_to}) AS value
 FROM {tbl} e CROSS JOIN m"""
+
+
+# ---------------------------------------------------------------------------
+# TRAINED quantizers — the md5 stand-ins above pin the plan shapes; these
+# wire the repo's deterministic distributed k-means (operators/
+# embedding_cluster.kmeans_fit) in as the coarse quantizer / PQ codebooks,
+# which is what a user shipping ANN at 100 TB actually runs. Training cost
+# is one k-means over (a sample of) the corpus — a dim table, not data —
+# and the resulting centroids ride in the plan exactly like the stand-ins.
+# The DuckDB twins re-run the SAME deterministic k-means as chained CTEs
+# (kmeans_ctes), so the oracle needs no shipped centroid file.
+# ---------------------------------------------------------------------------
+
+
+def ivf_trained_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    round_to: int = 4,
+    cents: list | None = None,
+) -> DataFrame:
+    """IVF with k-means-TRAINED centroids: corpus rows assign once to
+    their nearest trained centroid (argmin ROUND(sqdist, 6), ties to
+    the lower cluster id — identical to kmeans_assign), queries probe
+    their ``nprobe`` nearest clusters, exact cosine ranks only
+    cluster-local candidates. Same join shape as ivf_ann_topk; the only
+    change is WHERE the centroids come from, which is exactly the
+    trained-quantizer seam ivf_ann_topk's docstring promises. Pass
+    ``cents`` ([(cluster_id, centroid)]) to reuse a fit (e.g. trained
+    on a sample); default trains on the corpus itself."""
+    from .embedding_cluster import _sqdist_lit, kmeans_fit
+
+    if cents is None:
+        cents = kmeans_fit(
+            corpus, k=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+
+    def _dc(vec):
+        return [
+            F.struct(
+                F.round(_sqdist_lit(vec, cv), 6).alias("d"),
+                F.lit(int(cid)).alias("c"),
+            )
+            for cid, cv in cents
+        ]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.array_min(F.array(*_dc(F.col(vec_col))))["c"]
+        .cast("long")
+        .alias("cluster"),
+    )
+    probes = F.slice(
+        F.array_sort(F.array(*_dc(F.col(vec_col)))), 1, int(nprobe)
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probes).alias("p"),
+        )
+        .select("query_id", "qv", F.col("p")["c"].cast("long").alias("cluster"))
+    )
+    joined = c.join(F.broadcast(q), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.withColumn(
+        "cos",
+        cosine_col(
+            F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("cos"), round_to).alias("cosine"),
+        )
+    )
+
+
+def ivf_trained_ann_sql(
+    tbl: str = "embeddings",
+    vec: str = "embedding",
+    id_: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    query_pred: str = "vec_id < 8",
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of ivf_trained_ann_topk: re-runs the deterministic
+    k-means as chained CTEs (kmeans_ctes), then the same probe / join /
+    exact-cosine ranking."""
+    from .embedding_cluster import _sq_sql, kmeans_ctes
+
+    ctes, fin = kmeans_ctes(tbl, vec, id_, n_centroids, iters, dim)
+    dist = _sq_sql(f"q.{vec}", "c.v")
+    return f"""
+WITH {ctes},
+qp AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT q.{id_} AS query_id, q.{vec} AS qv, c.c AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.{id_}
+             ORDER BY ROUND({dist}, 6) ASC, c.c ASC) AS rn
+    FROM {tbl} q CROSS JOIN c{iters - 1} c WHERE q.{query_pred})
+  WHERE rn <= {nprobe}),
+scored AS (
+  SELECT qp.query_id, e.{id_} AS neighbor_id,
+         list_cosine_similarity(CAST(qp.qv AS DOUBLE[]),
+                                CAST(e.{vec} AS DOUBLE[])) AS cos
+  FROM {fin} a JOIN {tbl} e USING ({id_})
+  JOIN qp ON a.cluster = qp.cluster
+  WHERE e.{id_} <> qp.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cos DESC, neighbor_id ASC) AS "rank",
+         ROUND(cos, {round_to}) AS cosine
+  FROM scored)
+SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", cosine
+FROM ranked WHERE "rank" <= {k}"""
+
+
+def pq_trained_codebooks(
+    corpus: DataFrame,
+    m_sub: int,
+    k_codes: int,
+    dim_sub: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """books[s] = [(code, centroid)] — one deterministic k-means per
+    subspace over the corpus subvectors (Jégou TPAMI'11 trains PQ
+    codebooks exactly this way). m_sub small independent fits; at
+    100 TB you fit on a sample, which is just the caller passing a
+    sampled ``corpus``."""
+    from .embedding_cluster import kmeans_fit
+
+    books = []
+    for s in range(m_sub):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(
+                F.col(vec_col).cast("array<double>"),
+                s * dim_sub + 1,
+                dim_sub,
+            ).alias("_sv"),
+        )
+        books.append(
+            kmeans_fit(sub, k=k_codes, iters=iters, vec_col="_sv", id_col=id_col)
+        )
+    return books
+
+
+def ivfpq_trained_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    dim: int | None = None,
+    round_to: int = 4,
+    cents: list | None = None,
+    books: list | None = None,
+) -> DataFrame:
+    """IVF-PQ with TRAINED coarse centroids and per-subspace codebooks
+    (the ivfpq_ann_topk architecture — stored corpus row is (id,
+    cluster, m_sub code ints), vector column dropped before the join —
+    with kmeans_fit supplying the quantizers). ADC LUT entries are
+    ROUND(·, 6) on both engines so the s-order sum is bit-identical."""
+    from .embedding_cluster import _sqdist_lit, kmeans_fit
+
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col))).first()
+        if first is None:
+            raise ValueError(
+                "ivfpq_trained_ann_topk: empty corpus — pass dim="
+            )
+        dim = first[0]
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dim_sub = dim // m_sub
+    if cents is None:
+        cents = kmeans_fit(
+            corpus, k=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+    if books is None:
+        books = pq_trained_codebooks(
+            corpus, m_sub, k_codes, dim_sub, iters, vec_col, id_col
+        )
+
+    def _dc(vec, cc):
+        return [
+            F.struct(
+                F.round(_sqdist_lit(vec, cv), 6).alias("d"),
+                F.lit(int(cid)).alias("c"),
+            )
+            for cid, cv in cc
+        ]
+
+    vec = F.col(vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array_min(F.array(*_dc(vec, cents)))["c"].cast("long").alias("cluster"),
+        *[
+            F.array_min(F.array(*_dc(_sub(vec, s, dim_sub), books[s])))["c"]
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(m_sub)
+        ],
+    )
+    probes = F.slice(F.array_sort(F.array(*_dc(vec, cents))), 1, int(nprobe))
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probes).alias("p"),
+        *[
+            F.map_from_arrays(
+                F.array(*[F.lit(int(code)) for code, _ in books[s]]),
+                F.array(
+                    *[
+                        F.round(_dot_lit(_sub(vec, s, dim_sub), comps), 6)
+                        for _, comps in books[s]
+                    ]
+                ),
+            ).alias(f"lut_{s}")
+            for s in range(m_sub)
+        ],
+    )
+    q = qd.select(
+        "query_id",
+        F.col("p")["c"].cast("long").alias("cluster"),
+        *[F.col(f"lut_{s}") for s in range(m_sub)],
+    )
+    joined = c.join(F.broadcast(q), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    score = None
+    for s in range(m_sub):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}"))
+        score = term if score is None else score + term
+    scored = joined.withColumn("adc", score)
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("adc"), round_to).alias("adc"),
+        )
+    )
+
+
+def ivfpq_trained_ann_sql(
+    tbl: str = "embeddings",
+    vec: str = "embedding",
+    id_: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    query_pred: str = "vec_id < 8",
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of ivfpq_trained_ann_topk: one kmeans_ctes chain for
+    the coarse quantizer plus one prefixed chain per PQ subspace over a
+    materialized subvector CTE; ADC = s-ordered sum of ROUND(dot, 6)
+    LUT entries, exactly as the Spark side computes it."""
+    from .embedding_cluster import _sq_sql, kmeans_ctes
+
+    dim_sub = dim // m_sub
+    sub_cols = ", ".join(
+        f"CAST({vec} AS DOUBLE[])[{s * dim_sub + 1}:{(s + 1) * dim_sub}] AS sv{s}"
+        for s in range(m_sub)
+    )
+    ivf_ctes, ivf_fin = kmeans_ctes(tbl, vec, id_, n_centroids, iters, dim)
+    pq_parts, pq_fins = [], []
+    for s in range(m_sub):
+        ctes, fin = kmeans_ctes(
+            "sub", f"sv{s}", id_, k_codes, iters, dim_sub, prefix=f"s{s}"
+        )
+        pq_parts.append(ctes)
+        pq_fins.append(fin)
+    dist = _sq_sql(f"q.{vec}", "c.v")
+    luts = ",\n".join(
+        f"""lut{s} AS (
+  SELECT q.{id_} AS query_id, b.c AS code,
+         ROUND(list_sum(list_transform(range(1, {dim_sub} + 1),
+               i -> q.sv{s}[i] * b.v[i])), 6) AS d
+  FROM sub q CROSS JOIN s{s}c{iters - 1} b WHERE q.{query_pred})"""
+        for s in range(m_sub)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN {pq_fins[s]} p{s} ON p{s}.{id_} = a.{id_}" for s in range(m_sub)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = qp.query_id"
+        f" AND l{s}.code = p{s}.cluster"
+        for s in range(m_sub)
+    )
+    adc = " + ".join(f"l{s}.d" for s in range(m_sub))
+    return f"""
+WITH sub AS (SELECT {id_}, {vec}, {sub_cols} FROM {tbl}),
+{ivf_ctes},
+{",".join(pq_parts)},
+qp AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.{id_} AS query_id, c.c AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.{id_}
+             ORDER BY ROUND({dist}, 6) ASC, c.c ASC) AS rn
+    FROM {tbl} q CROSS JOIN c{iters - 1} c WHERE q.{query_pred})
+  WHERE rn <= {nprobe}),
+{luts},
+scored AS (
+  SELECT qp.query_id, a.{id_} AS neighbor_id, {adc} AS adc
+  FROM {ivf_fin} a
+  {code_joins}
+  JOIN qp ON a.cluster = qp.cluster
+  {lut_joins}
+  WHERE a.{id_} <> qp.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY adc DESC, neighbor_id ASC) AS "rank",
+         ROUND(adc, {round_to}) AS adc
+  FROM scored)
+SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", adc
+FROM ranked WHERE "rank" <= {k}"""

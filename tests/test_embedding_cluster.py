@@ -117,3 +117,82 @@ def test_semdedup_pair_join_plan_is_cluster_keyed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in aplan
+
+
+def test_kmeans_join_path_equals_literal_path(spark, two_blobs):
+    """VERDICT r3 next-round #3: the broadcast-join k-means (centroid
+    DataFrame, no plan literals, no driver collect in the update loop)
+    must label identically to the literal path at small k — the
+    ceiling is a physical-plan dispatch, not a semantics change."""
+    from cocrawler_spark.operators.embedding_cluster import (
+        kmeans_assign,
+        kmeans_assign_join,
+        kmeans_fit,
+        kmeans_fit_df,
+    )
+
+    for iters in (1, 2, 3):
+        cents = kmeans_fit(two_blobs, k=2, iters=iters)
+        lit = {
+            r["id"]: r["cluster"]
+            for r in kmeans_assign(two_blobs, cents).collect()
+        }
+        cdf = kmeans_fit_df(two_blobs, k=2, iters=iters)
+        jn = {
+            r["id"]: r["cluster"]
+            for r in kmeans_assign_join(two_blobs, cdf).collect()
+        }
+        assert lit == jn, (iters, lit, jn)
+        # centroid VALUES agree too, not just labels
+        got = {
+            r["cluster"]: [float(x) for x in r["centroid"]]
+            for r in cdf.collect()
+        }
+        assert got == {c: v for c, v in cents}
+
+
+def test_kmeans_join_path_handles_empty_cluster_dropout(spark):
+    """A cluster that loses all members must drop out of the DataFrame
+    path exactly as it does from the literal path."""
+    from cocrawler_spark.operators.embedding_cluster import (
+        kmeans_assign,
+        kmeans_assign_join,
+        kmeans_fit,
+        kmeans_fit_df,
+    )
+
+    # ids 0,1 both sit at the same point: init gives two identical
+    # centroids, every point ties to cluster 0, cluster 1 starves
+    rows = [(i, [0.0, 0.0]) for i in range(2)] + [
+        (i, [5.0, 5.0]) for i in range(2, 6)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=2, iters=3)
+    cdf = kmeans_fit_df(df, k=2, iters=3)
+    assert sorted(r["cluster"] for r in cdf.collect()) == sorted(
+        c for c, _ in cents
+    )
+    lit = {r["id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()}
+    jn = {r["id"]: r["cluster"] for r in kmeans_assign_join(df, cdf).collect()}
+    assert lit == jn
+
+
+def test_kmeans_label_dispatch(spark, two_blobs):
+    """kmeans_label picks the literal path under the cell ceiling and
+    the join path above it, with identical output either way."""
+    from cocrawler_spark.operators import embedding_cluster as ec
+
+    small = {
+        r["id"]: r["cluster"]
+        for r in ec.kmeans_label(two_blobs, k=2, iters=2).collect()
+    }
+    orig = ec.KMEANS_LITERAL_CELL_CEILING
+    try:
+        ec.KMEANS_LITERAL_CELL_CEILING = 1  # force the join path
+        forced = {
+            r["id"]: r["cluster"]
+            for r in ec.kmeans_label(two_blobs, k=2, iters=2).collect()
+        }
+    finally:
+        ec.KMEANS_LITERAL_CELL_CEILING = orig
+    assert small == forced

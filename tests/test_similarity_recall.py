@@ -148,3 +148,87 @@ def test_random_projection_mirror_and_jl_property(spark):
             ratios.append(n_out / n_in)
     mean = sum(ratios) / len(ratios)
     assert 0.7 < mean < 1.3, mean
+
+
+def test_ivf_trained_recall_floor(spark):
+    """VERDICT r3 next-round #2: k-means-TRAINED IVF must reach
+    recall@5 >= 0.6 vs exact bruteforce at nprobe=4 of 8 clusters on
+    the driver embeddings (i.i.d. vectors — the worst case), and must
+    not be worse than the md5 stand-in quantizer at the same probes."""
+    from cocrawler_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_trained_ann_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = _topk_sets(cosine_topk_bruteforce(emb, queries, k=5))
+    trained = _topk_sets(
+        ivf_trained_ann_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
+    )
+    standin = _topk_sets(
+        ivf_ann_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
+    )
+    r_trained = _recall(trained, exact)
+    r_standin = _recall(standin, exact)
+    assert r_trained >= 0.6, (
+        f"trained IVF recall@5 = {r_trained:.3f} (stand-in {r_standin:.3f})"
+    )
+    assert r_trained >= r_standin - 1e-9
+
+
+def test_ivfpq_trained_codebooks_cut_distortion(spark):
+    """Trained PQ codebooks must (a) cut sub-vector reconstruction MSE
+    — the quantity k-means optimizes and the quantity that bounds ADC
+    error (Jégou TPAMI'11 §III) — well below the md5 stand-in books,
+    and (b) keep ADC recall above the chance floor. Recall itself is
+    NOT asserted trained > stand-in here: on a clustered fixture a
+    well-trained codebook maps every same-center doc to the SAME codes,
+    so ADC ties within a center and tie-break order decides — the
+    measured pools are identical (probe recall 1.0 both ways) and the
+    within-center discrimination PQ loses is what residual encoding
+    exists for (see the residual variant's test)."""
+    import numpy as np
+
+    from cocrawler_spark.operators.similarity import (
+        cosine_topk_bruteforce as _bf,
+        ivfpq_trained_ann_topk,
+        pq_codebooks,
+        pq_trained_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(20, 64)
+    rows = [
+        (i, [float(x) for x in centers[i % 20] + 0.15 * rng.randn(64)])
+        for i in range(400)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    X = np.array([v for _, v in rows])
+
+    def mse(books, trained):
+        tot = 0.0
+        for s in range(4):
+            sub = X[:, s * 16 : (s + 1) * 16]
+            cw = np.array(
+                [c for _, c in books[s]] if trained else [c for c, _ in books[s]]
+            )
+            d = ((sub[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
+            tot += d.min(axis=1).sum()
+        return tot / X.size
+
+    trained_books = pq_trained_codebooks(emb, m_sub=4, k_codes=8, dim_sub=16)
+    standin_books = pq_codebooks(m_sub=4, k_codes=8, dim_sub=16)
+    m_t = mse(trained_books, trained=True)
+    m_s = mse(standin_books, trained=False)
+    assert m_t < 0.6 * m_s, f"trained MSE {m_t:.4f} vs stand-in {m_s:.4f}"
+
+    queries = emb.filter(F.col("vec_id") < 16)
+    exact = _topk_sets(_bf(emb, queries, k=5))
+    trained = _topk_sets(
+        ivfpq_trained_ann_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=4, m_sub=4, k_codes=8
+        )
+    )
+    r = _recall(trained, exact)
+    assert r >= 0.2, f"trained IVF-PQ recall@5 = {r:.3f}"
