@@ -49,6 +49,26 @@ class CrawlConfig:
     # re.search evaluate them, and gate parity is what the equality
     # suite asserts. Empty tuple = gate off (no plan change).
     deny_url_regexes: tuple = ()
+    # Candidate memoization (BENCH/ANALYSIS.md entry 29's recorded
+    # design): skip re-canonicalizing exact (raw, base) pairs already
+    # disposed of in a PRIOR wave — pairs that passed every gate (their
+    # surt is in `seen` once that wave commits, and seen only grows) or
+    # were dropped for a depth-INDEPENDENT reason (bad_url, scheme,
+    # private, dns_private, denylist). Pairs dropped by the depth gate
+    # are never memoized: the same raw link reappearing at a shallower
+    # depth must pass. Keys are the exact strings — hash-only keys
+    # could collide and wrongly drop an unseen link. Bit-exactness of
+    # the surviving frontier follows because a memoized pair's surt
+    # group is discarded by the seen anti-join anyway; drop metrics
+    # shift into `memo_skipped` (the simulator models this identically,
+    # so the equality suite covers both settings).
+    # Default OFF: on a single-bus box the memo anti-join trades
+    # compute (which still scales with cores there) for shuffle bytes
+    # (which do not) — measured trade in entry 29. Turn ON for real
+    # multi-executor clusters with per-executor memory buses once
+    # steady waves re-encounter ≳30% of candidate pairs (boilerplate
+    # nav links dominate by wave 3 on web-shaped graphs).
+    memoize_candidates: bool = False
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -22,6 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+# (group, partition) offset pairs above this go through the broadcast
+# join path instead of plan literals — a literal map's plan-string cost
+# grows linearly with entries and is re-parsed on every optimization.
+GROUPED_CUMSUM_LITERAL_GROUP_CEILING = 256
+
+
 def with_global_seq(
     df: DataFrame,
     order_cols: list[str],
@@ -134,24 +140,35 @@ def with_grouped_cumsum(
     out_col: str = "cum",
     num_partitions: int | None = None,
     persisted: list | None = None,
+    offsets_via: str = "auto",
 ) -> DataFrame:
     """Per-group running total of `sum_col` following `order_cols`
     WITHIN each group (inclusive) — the grouped prefix sum, for groups
     far too large for a single window partition (e.g. packing a corpus
     per train/val/test split). Range-partition on (group, order) keys
-    so each group's rows are contiguous across partitions, collect the
+    so each group's rows are contiguous across partitions, derive the
     per-(partition, group) partial sums (O(partitions + groups) rows —
     a boundary partition holds at most 2 groups' partials beyond its
-    own), and shift each partition's local window cumsum by the
-    driver-computed offset for its (group, partition) pair.
+    own), and shift each partition's local window cumsum by the offset
+    for its (group, partition) pair.
 
-    The offset map is compiled into the plan as literals — suited to
-    small group cardinality (splits, languages, shards); with millions
-    of groups use a join against an offsets table instead. Group
-    values must render identically via str() and CAST(string) (strings
-    and integers do)."""
+    Two physical paths for the offsets, same semantics (equality +
+    property tests pin them against each other and a Python mirror):
+    - ``literal``: collect the partials, compile the offset map into
+      the plan — cheapest when group cardinality is small (splits,
+      languages, shards; ≤ GROUPED_CUMSUM_LITERAL_GROUP_CEILING keys).
+    - ``join``: offsets stay a DataFrame (window prefix sum over the
+      partials, broadcast-joined back) — no driver round-trip, no plan
+      literals; the path for 10³+ groups (per-domain packing, per-host
+      quotas) where a literal map would bloat the plan string.
+    ``offsets_via='auto'`` probes the partials' size (one count over a
+    bounded limit of the already-persisted input) and dispatches.
+    Group values must render identically via str() and CAST(string)
+    (strings and integers do) — literal path only."""
     from collections import defaultdict
 
+    if offsets_via not in ("auto", "literal", "join"):
+        raise ValueError(f"offsets_via: {offsets_via}")
     p = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     keys = [F.col(c) for c in list(group_cols) + list(order_cols)]
     part = (
@@ -161,11 +178,34 @@ def with_grouped_cumsum(
     )
     if persisted is not None:
         persisted.append(part)
-    rows = (
-        part.groupBy("_pid", *group_cols)
-        .agg(F.sum(sum_col).alias("s"))
-        .collect()
-    )
+    sums = part.groupBy("_pid", *group_cols).agg(F.sum(sum_col).alias("s"))
+    if offsets_via == "auto":
+        ceil = GROUPED_CUMSUM_LITERAL_GROUP_CEILING
+        probe = sums.limit(ceil + 1).count()
+        offsets_via = "literal" if probe <= ceil else "join"
+    if offsets_via == "join":
+        woff = (
+            Window.partitionBy(*group_cols)
+            .orderBy(F.col("_pid").asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = sums.select(
+            "_pid",
+            *group_cols,
+            F.coalesce(F.sum("s").over(woff), F.lit(0)).cast("long").alias("_goff"),
+        )
+        w = (
+            Window.partitionBy("_pid", *group_cols)
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            part.withColumn("_local", F.sum(sum_col).over(w))
+            .join(F.broadcast(offs), ["_pid", *group_cols])
+            .withColumn(out_col, (F.col("_local") + F.col("_goff")).cast("long"))
+            .drop("_pid", "_local", "_goff")
+        )
+    rows = sums.collect()
     per_group: dict = defaultdict(list)
     for r in rows:
         gkey = "\x00".join(str(r[c]) for c in group_cols)

@@ -61,7 +61,12 @@ from ..functions.parse import (
     redirect_target_py,
 )
 from ..functions.robots import robots_allowed_py
-from ..functions.urls import ALLOWED_SCHEMES, canonicalize_one, special_redirect
+from ..functions.urls import (
+    ALLOWED_SCHEMES,
+    canonicalize_one,
+    clean_link,
+    special_redirect,
+)
 from ..synth import SynthWeb
 
 VIA_SEED = "seed"
@@ -107,6 +112,7 @@ class Simulator:
         self.cfg = cfg
         self.res = CrawlResult()
         self.robots_state: dict[str, dict] = {}  # host -> entry
+        self.cand_memo: set = set()  # (raw, base_eff) pairs, cfg.memoize_candidates
         self.dns_cache: dict[str, tuple] = {}  # host -> (ip, first_wave)
         self.host_fetched: dict[str, int] = {}
         self.total_fetched = 0
@@ -148,28 +154,62 @@ class Simulator:
             bad_url=0, scheme_dropped=0, private_dropped=0,
             dns_private_dropped=0, depth_dropped=0, denylist_dropped=0,
         )
+        # candidate memoization (cfg.memoize_candidates; mirrors the
+        # engine): memo key = (raw, base_eff) with base nulled for
+        # absolute links — the engine's pre-collapse base-nulling —
+        # skip pairs disposed of in a PRIOR wave, collect this wave's
+        # inserts (everything but depth-gate drops) for the end-of-wave
+        # memo update (the engine's delta is only visible next wave).
+        memo_skipped = 0
+        wave_memo_inserts: set = set()
         for cand in raw_candidates:
+            mkey = None
+            if cfg.memoize_candidates:
+                base_eff = (
+                    None
+                    if re.match(r"https?://", clean_link(cand["raw"] or ""))
+                    else cand.get("base")
+                )
+                mkey = (cand["raw"], base_eff)
+                if mkey in self.cand_memo:
+                    memo_skipped += 1
+                    continue
             c = canonicalize_one(cand["raw"], cand.get("base"))
             if not c.url:
                 counters["bad_url"] += 1
+                if mkey is not None:
+                    wave_memo_inserts.add(mkey)
                 continue
             if c.scheme not in ALLOWED_SCHEMES:
                 counters["scheme_dropped"] += 1
+                if mkey is not None:
+                    wave_memo_inserts.add(mkey)
                 continue
             if is_private_host_py(c.host):
                 counters["private_dropped"] += 1
+                if mkey is not None:
+                    wave_memo_inserts.add(mkey)
                 continue
             if resolved_private_py(fake_dns_ip_py(c.host)):
                 counters["dns_private_dropped"] += 1
+                if mkey is not None:
+                    wave_memo_inserts.add(mkey)
                 continue
             if cand["depth"] > cfg.max_depth:
                 counters["depth_dropped"] += 1
+                # never memoized: the same raw link at a shallower
+                # depth must pass this gate on a later wave
                 continue
             if cfg.deny_url_regexes and any(
                 re.search(p, c.url) for p in cfg.deny_url_regexes
             ):
                 counters["denylist_dropped"] += 1
+                if mkey is not None:
+                    wave_memo_inserts.add(mkey)
                 continue
+            if mkey is not None:
+                # post-gate: its surt is in `seen` once this wave ends
+                wave_memo_inserts.add(mkey)
             canon_items.append(
                 Item(
                     url=c.url,
@@ -215,6 +255,9 @@ class Simulator:
         self._metric(wave, "denylist_dropped", counters["denylist_dropped"])
         self._metric(wave, "wave_dup_dropped", wave_dups)
         self._metric(wave, "seen_dup_dropped", seen_dups)
+        if cfg.memoize_candidates:
+            self._metric(wave, "memo_skipped", memo_skipped)
+            self.cand_memo |= wave_memo_inserts
         return new_items
 
     # -- seeds (wave 0 frontier) ---------------------------------------------

@@ -215,6 +215,7 @@ class CrawlEngine:
         self.catalog = SnapshotCatalog(spark, state_dir)
         self.frontier: Optional[DataFrame] = None
         self.seen: Optional[DataFrame] = None
+        self.cand_memo: Optional[DataFrame] = None
         self.robots: Optional[DataFrame] = None
         self.host_counts: Optional[DataFrame] = None
         self.total_fetched = 0
@@ -411,6 +412,31 @@ class CrawlEngine:
                 "_n",
             )
         )
+        # Candidate memoization (cfg.memoize_candidates; ANALYSIS entry
+        # 29): pairs disposed of in a PRIOR wave skip the canonicalize
+        # chain entirely. Exact-string anti-join on (raw, base) — base
+        # is NULL for absolute links after the nulling above, so the
+        # match must be null-safe. Runs AFTER the pre-collapse so the
+        # join input is distinct pairs, not 30x-duplicated occurrences.
+        if cfg.memoize_candidates:
+            memo = self.cand_memo
+            if memo is not None:
+                mm = memo.select(
+                    F.col("raw").alias("_mraw"), F.col("base").alias("_mbase")
+                )
+                cond = (F.col("raw") == F.col("_mraw")) & F.col(
+                    "base"
+                ).eqNullSafe(F.col("_mbase"))
+                if not self.lean:
+                    skipped = (
+                        cand0.join(mm, cond, "left_semi")
+                        .agg(F.sum("_n").alias("s"))
+                        .collect()[0]["s"]
+                    )
+                    self._metric(wave, "memo_skipped", int(skipped or 0))
+                cand0 = cand0.join(mm, cond, "left_anti")
+            elif not self.lean:
+                self._metric(wave, "memo_skipped", 0)
         c = with_canonical(cand0, "raw", base_col="base")
         drop = (
             F.when(F.col("url") == "", "bad_url")
@@ -564,6 +590,23 @@ class CrawlEngine:
             mode="delta",
             lineage=True,
         )
+        if cfg.memoize_candidates:
+            # memo delta: every pair NOT dropped by the depth gate —
+            # post-gate pairs' surts are in `seen` once this wave
+            # commits; depth-independent drops repeat identically.
+            # distinct() because the same (raw, base) can appear at
+            # several depths in cand0. In lean mode this re-runs the
+            # canonicalize chain inside the writer thread — part of the
+            # flag's documented trade (config.py).
+            memo_delta = (
+                c.filter(
+                    F.col("drop_reason").isNull()
+                    | (F.col("drop_reason") != F.lit("depth_dropped"))
+                )
+                .select("raw", "base")
+                .distinct()
+            )
+            self._stage_async("cand_memo", memo_delta, wave, mode="delta")
         if self.use_bloom:
             build_delta, compact_filter, _, _, _ = self._filter_fns()
 
@@ -623,6 +666,10 @@ class CrawlEngine:
         """Point seen/bloom at their on-disk form (fresh lineage) once the
         wave's async writes have landed."""
         self.seen = self.spark.read.parquet(*self._seen_paths(wave))
+        if self.cfg.memoize_candidates:
+            mpaths = self._memo_paths(wave)
+            if mpaths:
+                self.cand_memo = self.spark.read.parquet(*mpaths)
         if self.use_bloom:
             paths = self._bloom_paths(wave)
             if paths:
@@ -694,6 +741,16 @@ class CrawlEngine:
     def _bloom_paths(self, up_to_wave: int) -> list[str]:
         paths = self._table_dirs("bloom", up_to_wave)
         # a 'full' (compacted) version supersedes everything before it
+        fulls = [i for i, d in enumerate(paths) if d.endswith("-full")]
+        if fulls:
+            paths = paths[fulls[-1]:]
+        return paths
+
+    def _memo_paths(self, up_to_wave: int) -> list[str]:
+        paths = self._table_dirs("cand_memo", up_to_wave)
+        # a 'full' version (expire_seen invalidation) supersedes all
+        # earlier deltas — resurrecting pre-expiry memo entries would
+        # suppress the organic re-discovery expiry exists to allow
         fulls = [i for i, d in enumerate(paths) if d.endswith("-full")]
         if fulls:
             paths = paths[fulls[-1]:]
@@ -1379,6 +1436,8 @@ class CrawlEngine:
         self._base_manifest = m
         self.frontier = self.catalog.load("frontier", m)
         self.seen = self.catalog.load("seen", m)
+        if self.cfg.memoize_candidates:
+            self.cand_memo = self.catalog.load("cand_memo", m)
         self.robots = self._robots_view(self.catalog.load("robots", m))
         self.host_counts = self._host_counts_view(
             self.catalog.load("host_counts", m)
@@ -1491,6 +1550,17 @@ class CrawlEngine:
         seen_new = seen_cur.join(removed_s, "surt", "left_anti")
         self.catalog.stage("seen", seen_new, exp_wave, mode="full", lineage=True)
         seen_total_new = self.catalog.staged_rows("seen")
+        if self.cfg.memoize_candidates:
+            # the memo caches "this pair's surt is in seen" — forgetting
+            # surts invalidates that, so the memo is wiped wholesale
+            # (it is a pure optimization cache; an empty FULL version
+            # supersedes all deltas via _memo_paths)
+            self.catalog.stage(
+                "cand_memo",
+                self.spark.createDataFrame([], "raw string, base string"),
+                exp_wave,
+                mode="full",
+            )
         removed = int(m.get("seen_total", 0)) - seen_total_new
 
         if self.use_bloom:
