@@ -67,6 +67,9 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "dedup_semantic",
     "train_pipeline_keep_best",
+    "ann_ivf_trained",
+    "ann_ivfpq_trained",
+    "spans_outlink_extract",
 ]
 
 

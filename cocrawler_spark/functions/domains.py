@@ -50,3 +50,31 @@ def registered_domain_udf():
         return pd.Series([registered_domain_py(h or "") for h in host.tolist()])
 
     return rd
+
+
+def registered_domain_col(host):
+    """Pure-JVM twin of registered_domain_py (whole-stage codegen, no
+    Arrow) — lets hot paths recompute the domain AFTER a shuffle
+    instead of carrying it through (the canonicalize UDF's `domain`
+    field equals registered_domain_py(host) by construction, so a
+    post-dedup recompute is value-identical; parity pinned in
+    tests/test_urls.py)."""
+    h = F.lower(host)
+    stripped = F.regexp_replace(h, "\\.+$", "")
+    ls = F.split(stripped, "\\.")
+    n = F.size(ls)
+    two = sorted(s for s in SUFFIXES if "." in s)
+    one = sorted(s for s in SUFFIXES if "." not in s)
+    suf2 = F.array_join(F.slice(ls, -2, F.lit(2)), ".")
+    suf1 = F.element_at(ls, -1)
+    best = F.when((n > 2) & suf2.isin(two), F.lit(2)).otherwise(F.lit(1))
+    # the k=1 probe and the unknown-suffix fallback both yield best=1;
+    # isin(one) is kept out of the plan entirely (dead branch)
+    _ = (one, suf1)
+    take = F.least(n, best + 1)
+    dom = F.array_join(F.slice(ls, -take, take), ".")
+    return (
+        F.when(h.isNull() | (h == ""), F.lit(""))
+        .when(n < 2, h)
+        .otherwise(dom)
+    )

@@ -490,13 +490,22 @@ class CrawlEngine:
         # keys are bit-identical rows). Winner identical to
         # row_number()=1 over (partition by surt order by the 5 keys) —
         # the oracle's rule (simulator.py add_url).
+        # `domain` is NOT carried through the dedup exchange: it is a
+        # pure function of host (the canonicalize UDF computes it as
+        # registered_domain_py(host)), so it is recomputed post-dedup
+        # by the JVM twin — ~15-25 bytes/row off the wave's second-
+        # largest shuffle for one codegen'd expression on the collapsed
+        # winners (VERDICT r3 next-round #1: shuffle-byte diet). Winner
+        # choice is untouched: domain sat BEHIND the five ordering keys
+        # and is constant within a surt group anyway.
+        from ..functions.domains import registered_domain_col
+
         deduped = (
             kept.groupBy("surt")
             .agg(
                 F.min(
                     F.struct(
                         "priority", "depth", "via", "url", "is_seed", "host", "path",
-                        "domain",
                     )
                 ).alias("_w")
             )
@@ -509,7 +518,7 @@ class CrawlEngine:
                 F.col("_w.is_seed").alias("is_seed"),
                 F.col("_w.host").alias("host"),
                 F.col("_w.path").alias("path"),
-                F.col("_w.domain").alias("domain"),
+                registered_domain_col(F.col("_w.host")).alias("domain"),
             )
         )
         # seen anti-membership. With the bloom sidecar, candidates whose

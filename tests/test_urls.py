@@ -230,3 +230,31 @@ def test_url_template_cols(spark):
     # digits in the HOST are untouched; empty path becomes '/'
     assert got[3] == ("b2.test", "/")
     assert got[4] == ("c.test", "/x/y")
+
+
+def test_registered_domain_col_matches_py(spark):
+    """registered_domain_col (pure JVM) must equal registered_domain_py
+    on every host shape the crawl produces plus the classic edges."""
+    from pyspark.sql import functions as F
+
+    from cocrawler_spark.functions.domains import (
+        registered_domain_col,
+        registered_domain_py,
+    )
+
+    hosts = [
+        "h3.test", "deep.sub.h7.test", "a.b.co.uk", "b.co.uk", "co.uk",
+        "example.com", "www.example.com", "x.y.z.example.com",
+        "single", "a.", "a..b", "UPPER.Example.COM", "h0.test.",
+        "weird.unknownsuffix", "a.b.weird.unknownsuffix", "",
+        "xn--bcher-kva.example", "127.0.0.1", "a.co", "sub.a.co",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registered_domain_col(F.col("host")).alias("d")
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == registered_domain_py(h), (h, got[h])

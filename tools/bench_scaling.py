@@ -85,6 +85,11 @@ def run_crawl(cpus: int, size: str, waves: int) -> dict:
         # are bandwidth-bound (BENCH/ANALYSIS entry 14) — zstd's better
         # ratio trades spare compute for scarce bandwidth
         .config("spark.io.compression.codec", "zstd")
+        # level 3 (default 1): every shuffle byte is a memory-bus byte
+        # here (tmpfs), and the crawl has spare compute at the small-N
+        # legs — a better ratio converts idle cores into saved bandwidth
+        # (VERDICT r3 next-round #1 lever)
+        .config("spark.io.compression.zstd.level", "3")
         # shuffle files + spills on tmpfs (see BENCH_ROOT note)
         .config("spark.local.dir", os.path.join(BENCH_ROOT, f"local_{cpus}"))
         .config("spark.ui.enabled", "false")
