@@ -583,6 +583,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivfpq_trained"] = ann_ivfpq_trained
 
+    def ann_ivfpq_residual(spark, sf):
+        """IVFADC proper (Jégou TPAMI'11 §IV): PQ over the residual
+        x − centroid(cluster) with distance ADC — restores the
+        within-cluster discrimination plain PQ loses to code ties."""
+        from cocrawler_spark.operators.similarity import (
+            ivfpq_residual_ann_topk,
+        )
+
+        emb = _ts(spark, sf, "embeddings")
+        return ivfpq_residual_ann_topk(
+            emb, emb.filter(F.col("vec_id") < 8),
+            k=5, n_centroids=8, nprobe=4, m_sub=4, k_codes=8, iters=2,
+            round_to=4,
+        )
+
+    q["ann_ivfpq_residual"] = ann_ivfpq_residual
+
     def dedup_embedding_neardup(spark, sf):
         # default = scale path: LSH bucket equi-join, no cross product
         emb = _ts(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
@@ -2937,6 +2954,12 @@ FROM ranked WHERE "rank" <= 5"""
         query_pred="vec_id < 8", round_to=4,
     )
     s["ann_ivfpq_trained"] = ivfpq_trained_ann_sql(
+        k=5, n_centroids=8, nprobe=4, m_sub=4, k_codes=8, iters=2, dim=64,
+        query_pred="vec_id < 8", round_to=4,
+    )
+    from cocrawler_spark.operators.similarity import ivfpq_residual_ann_sql
+
+    s["ann_ivfpq_residual"] = ivfpq_residual_ann_sql(
         k=5, n_centroids=8, nprobe=4, m_sub=4, k_codes=8, iters=2, dim=64,
         query_pred="vec_id < 8", round_to=4,
     )

@@ -69,6 +69,7 @@ HEADLINE = [
     "train_pipeline_keep_best",
     "ann_ivf_trained",
     "ann_ivfpq_trained",
+    "ann_ivfpq_residual",
     "spans_outlink_extract",
 ]
 

@@ -747,12 +747,68 @@ def ivf_trained_ann_topk(
     change is WHERE the centroids come from, which is exactly the
     trained-quantizer seam ivf_ann_topk's docstring promises. Pass
     ``cents`` ([(cluster_id, centroid)]) to reuse a fit (e.g. trained
-    on a sample); default trains on the corpus itself."""
-    from .embedding_cluster import _sqdist_lit, kmeans_fit
+    on a sample); default trains on the corpus itself. For LARGE k
+    (k·dim beyond plan-literal territory) pass a centroid DataFrame
+    (cluster, centroid) — e.g. kmeans_fit_df's output — and both the
+    corpus assignment and the query probes become broadcast joins
+    instead of literal argmins (same ROUND(·,6)/tie rules; output
+    equality with the literal path is pinned by test)."""
+    from .embedding_cluster import (
+        _sqdist_cols,
+        _sqdist_lit,
+        kmeans_assign_join,
+        kmeans_fit,
+    )
 
     if cents is None:
         cents = kmeans_fit(
             corpus, k=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+        )
+    if isinstance(cents, DataFrame):
+        assigned = kmeans_assign_join(corpus, cents, vec_col, id_col)
+        c = assigned.join(
+            corpus.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("cv")
+            ),
+            "id",
+        ).select(F.col("id").alias("neighbor_id"), "cv", "cluster")
+        qj = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).crossJoin(F.broadcast(cents.select("cluster", "centroid")))
+        d = F.round(
+            _sqdist_cols(F.col("qv"), F.col("centroid").cast("array<double>")),
+            6,
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            d.asc(), F.col("cluster").asc()
+        )
+        q = (
+            qj.withColumn("_pr", F.row_number().over(wq))
+            .filter(F.col("_pr") <= int(nprobe))
+            .select("query_id", "qv", F.col("cluster").cast("long").alias("cluster"))
+        )
+        joined = c.join(q, "cluster").filter(
+            F.col("neighbor_id") != F.col("query_id")
+        )
+        scored = joined.withColumn(
+            "cos",
+            cosine_col(
+                F.col("qv").cast("array<double>"),
+                F.col("cv").cast("array<double>"),
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rank",
+                F.round(F.col("cos"), round_to).alias("cosine"),
+            )
         )
 
     def _dc(vec):
@@ -900,8 +956,12 @@ def ivfpq_trained_ann_topk(
     """IVF-PQ with TRAINED coarse centroids and per-subspace codebooks
     (the ivfpq_ann_topk architecture — stored corpus row is (id,
     cluster, m_sub code ints), vector column dropped before the join —
-    with kmeans_fit supplying the quantizers). ADC LUT entries are
-    ROUND(·, 6) on both engines so the s-order sum is bit-identical."""
+    with kmeans_fit supplying the quantizers). LUT entries stay
+    UNROUNDED: the same-order fold over identical trained literals is
+    bit-identical across engines, while decimal-quantized LUTs would
+    land the ADC sum exactly on ROUND(·,4) half-boundaries where Spark
+    (decimal-repr HALF_UP) and DuckDB (binary-value rounding) disagree
+    (measured on the residual variant)."""
     from .embedding_cluster import _sqdist_lit, kmeans_fit
 
     if dim is None:
@@ -952,7 +1012,7 @@ def ivfpq_trained_ann_topk(
                 F.array(*[F.lit(int(code)) for code, _ in books[s]]),
                 F.array(
                     *[
-                        F.round(_dot_lit(_sub(vec, s, dim_sub), comps), 6)
+                        _dot_lit(_sub(vec, s, dim_sub), comps)
                         for _, comps in books[s]
                     ]
                 ),
@@ -1023,8 +1083,8 @@ def ivfpq_trained_ann_sql(
     luts = ",\n".join(
         f"""lut{s} AS (
   SELECT q.{id_} AS query_id, b.c AS code,
-         ROUND(list_sum(list_transform(range(1, {dim_sub} + 1),
-               i -> q.sv{s}[i] * b.v[i])), 6) AS d
+         list_sum(list_transform(range(1, {dim_sub} + 1),
+               i -> q.sv{s}[i] * b.v[i])) AS d
   FROM sub q CROSS JOIN s{s}c{iters - 1} b WHERE q.{query_pred})"""
         for s in range(m_sub)
     )
@@ -1060,6 +1120,255 @@ ranked AS (
   SELECT query_id, neighbor_id,
          ROW_NUMBER() OVER (PARTITION BY query_id
            ORDER BY adc DESC, neighbor_id ASC) AS "rank",
+         ROUND(adc, {round_to}) AS adc
+  FROM scored)
+SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", adc
+FROM ranked WHERE "rank" <= {k}"""
+
+
+def ivfpq_residual_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    dim: int | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVFADC proper (Jégou TPAMI'11 §IV): PQ codes the RESIDUAL
+    x − centroid(cluster), not x itself. This is what restores
+    within-cluster discrimination — with plain PQ every doc near one
+    centroid gets the SAME codes and ADC ties (measured on the
+    clustered fixture: trained plain-PQ recall plateaus at ~0.33
+    because tie-break order decides); coding the residual spends the
+    whole code budget on exactly the part of x the coarse quantizer
+    threw away. Distance ADC: score = Σ_s ||qres_s − codeword_s||²
+    (ascending). LUT entries stay UNROUNDED — same-order folds over
+    identical trained literals are bit-identical across engines, and
+    quantized LUTs would make the ADC sum land exactly on 4dp half-
+    boundaries where Spark and DuckDB round differently (measured).
+
+    Plan shape is the ivfpq one: corpus stores (id, cluster, m_sub
+    codes) — vector dropped before the join; queries carry nprobe ×
+    m_sub LUTs (computed per probed cluster, since the residual depends
+    on WHICH centroid — the one extra cost of IVFADC)."""
+    from .embedding_cluster import _sqdist_lit, kmeans_fit
+
+    if dim is None:
+        first = corpus.select(F.size(F.col(vec_col))).first()
+        if first is None:
+            raise ValueError("ivfpq_residual_ann_topk: empty corpus")
+        dim = first[0]
+    if dim % m_sub != 0:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dim_sub = dim // m_sub
+    cents = kmeans_fit(
+        corpus, k=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+    )
+
+    def _dc(vec, cc):
+        return [
+            F.struct(
+                F.round(_sqdist_lit(vec, cv), 6).alias("d"),
+                F.lit(int(cid)).alias("c"),
+            )
+            for cid, cv in cc
+        ]
+
+    def _cent_arr(cluster_col):
+        expr = None
+        for cid, cv in cents:
+            arr = F.array(*[F.lit(float(x)) for x in cv])
+            expr = (
+                F.when(cluster_col == int(cid), arr)
+                if expr is None
+                else expr.when(cluster_col == int(cid), arr)
+            )
+        return expr
+
+    vec = F.col(vec_col)
+    assigned = F.array_min(F.array(*_dc(vec, cents)))["c"].cast("long")
+    residual = F.zip_with(
+        vec.cast("array<double>"), _cent_arr(assigned), lambda x, y: x - y
+    )
+    rdf = corpus.select(
+        F.col(id_col).alias("id"),
+        assigned.alias("cluster"),
+        residual.alias("_rv"),
+    )
+    books = []
+    for s in range(m_sub):
+        sub = rdf.select(
+            F.col("id").alias(id_col),
+            F.slice(F.col("_rv"), s * dim_sub + 1, dim_sub).alias("_sv"),
+        )
+        books.append(
+            kmeans_fit(sub, k=k_codes, iters=iters, vec_col="_sv", id_col=id_col)
+        )
+    c = rdf.select(
+        F.col("id").alias("neighbor_id"),
+        "cluster",
+        *[
+            F.array_min(
+                F.array(
+                    *_dc(
+                        F.slice(F.col("_rv"), s * dim_sub + 1, dim_sub),
+                        books[s],
+                    )
+                )
+            )["c"]
+            .cast("int")
+            .alias(f"code_{s}")
+            for s in range(m_sub)
+        ],
+    )
+    probes = F.slice(F.array_sort(F.array(*_dc(vec, cents))), 1, int(nprobe))
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probes).alias("p"),
+    ).select(
+        "query_id",
+        "_qv",
+        F.col("p")["c"].cast("long").alias("cluster"),
+    )
+    qres = F.zip_with(
+        F.col("_qv").cast("array<double>"),
+        _cent_arr(F.col("cluster")),
+        lambda x, y: x - y,
+    )
+    q = qp.select(
+        "query_id",
+        "cluster",
+        *[
+            F.map_from_arrays(
+                F.array(*[F.lit(int(code)) for code, _ in books[s]]),
+                F.array(
+                    *[
+                        _sqdist_lit(
+                            F.slice(qres, s * dim_sub + 1, dim_sub), comps
+                        )
+                        for _, comps in books[s]
+                    ]
+                ),
+            ).alias(f"lut_{s}")
+            for s in range(m_sub)
+        ],
+    )
+    joined = c.join(F.broadcast(q), "cluster").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    score = None
+    for s in range(m_sub):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}"))
+        score = term if score is None else score + term
+    scored = joined.withColumn("adc", score)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("adc"), round_to).alias("adc"),
+        )
+    )
+
+
+def ivfpq_residual_ann_sql(
+    tbl: str = "embeddings",
+    vec: str = "embedding",
+    id_: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    query_pred: str = "vec_id < 8",
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of ivfpq_residual_ann_topk: coarse k-means chain,
+    a residual CTE (x − assigned centroid), one prefixed k-means chain
+    per subspace over the residual slices, per-(query, probed-cluster)
+    L2 LUTs, ascending ADC rank."""
+    from .embedding_cluster import _sq_sql, kmeans_ctes
+
+    dim_sub = dim // m_sub
+    ivf_ctes, ivf_fin = kmeans_ctes(tbl, vec, id_, n_centroids, iters, dim)
+    last_c = f"c{iters - 1}"
+    sub_cols = ", ".join(
+        f"rv[{s * dim_sub + 1}:{(s + 1) * dim_sub}] AS sv{s}"
+        for s in range(m_sub)
+    )
+    pq_parts, pq_fins = [], []
+    for s in range(m_sub):
+        ctes, fin = kmeans_ctes(
+            "sub", f"sv{s}", id_, k_codes, iters, dim_sub, prefix=f"s{s}"
+        )
+        pq_parts.append(ctes)
+        pq_fins.append(fin)
+    dist = _sq_sql(f"q.{vec}", "c.v")
+    luts = ",\n".join(
+        f"""lut{s} AS (
+  SELECT r.query_id, r.cluster, b.c AS code,
+         list_sum(list_transform(range(1, {dim_sub} + 1),
+               i -> (r.rv[{s * dim_sub} + i] - b.v[i])
+                  * (r.rv[{s * dim_sub} + i] - b.v[i]))) AS d
+  FROM qres r CROSS JOIN s{s}{last_c} b)"""
+        for s in range(m_sub)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN {pq_fins[s]} p{s} ON p{s}.{id_} = a.{id_}" for s in range(m_sub)
+    )
+    lut_joins = "\n  ".join(
+        f"JOIN lut{s} l{s} ON l{s}.query_id = qp.query_id"
+        f" AND l{s}.cluster = qp.cluster AND l{s}.code = p{s}.cluster"
+        for s in range(m_sub)
+    )
+    adc = " + ".join(f"l{s}.d" for s in range(m_sub))
+    return f"""
+WITH {ivf_ctes},
+res AS (
+  SELECT e.{id_}, a.cluster,
+         list_transform(range(1, {dim} + 1),
+           i -> CAST(e.{vec}[i] AS DOUBLE) - c.v[i]) AS rv
+  FROM {tbl} e JOIN {ivf_fin} a USING ({id_})
+  JOIN {last_c} c ON c.c = a.cluster),
+sub AS (SELECT {id_}, cluster, {sub_cols} FROM res),
+{",".join(pq_parts)},
+qp AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.{id_} AS query_id, c.c AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY q.{id_}
+             ORDER BY ROUND({dist}, 6) ASC, c.c ASC) AS rn
+    FROM {tbl} q CROSS JOIN {last_c} c WHERE q.{query_pred})
+  WHERE rn <= {nprobe}),
+qres AS (
+  SELECT qp.query_id, qp.cluster,
+         list_transform(range(1, {dim} + 1),
+           i -> CAST(q.{vec}[i] AS DOUBLE) - c.v[i]) AS rv
+  FROM qp JOIN {tbl} q ON q.{id_} = qp.query_id
+  JOIN {last_c} c ON c.c = qp.cluster),
+{luts},
+scored AS (
+  SELECT qp.query_id, a.{id_} AS neighbor_id, {adc} AS adc
+  FROM {ivf_fin} a
+  {code_joins}
+  JOIN qp ON a.cluster = qp.cluster
+  {lut_joins}
+  WHERE a.{id_} <> qp.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY adc ASC, neighbor_id ASC) AS "rank",
          ROUND(adc, {round_to}) AS adc
   FROM scored)
 SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", adc

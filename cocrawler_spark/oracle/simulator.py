@@ -164,7 +164,10 @@ class Simulator:
         wave_memo_inserts: set = set()
         for cand in raw_candidates:
             mkey = None
-            if cfg.memoize_candidates:
+            # raw is never NULL in practice (extractors drop empties);
+            # mirror the engine's null-UNSAFE join on raw regardless —
+            # a NULL raw neither matches nor enters the memo there
+            if cfg.memoize_candidates and cand["raw"] is not None:
                 base_eff = (
                     None
                     if re.match(r"https?://", clean_link(cand["raw"] or ""))

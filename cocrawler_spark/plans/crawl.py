@@ -612,6 +612,9 @@ class CrawlEngine:
                     F.col("drop_reason").isNull()
                     | (F.col("drop_reason") != F.lit("depth_dropped"))
                 )
+                # a NULL raw could never match the null-unsafe probe
+                # join — keep it out of the table instead of dead weight
+                .filter(F.col("raw").isNotNull())
                 .select("raw", "base")
                 .distinct()
             )
