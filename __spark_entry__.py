@@ -2216,6 +2216,153 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["spans_content_digest"] = spans_content_digest
 
+    def dedup_exact_substring(spark, sf):
+        """ExactSubstr measurement (Lee et al. 2022): per-doc counts of
+        duplicated 10-token sliding windows and merged-interval token
+        coverage. W=10 (not the paper's 50) because the driver docs
+        average ~54 tokens."""
+        from cocrawler_spark.operators.dedup import exact_substring_stats
+
+        d = _ts(spark, sf, "documents")
+        return exact_substring_stats(d, "text", "doc_id", window_tokens=10)
+
+    q["dedup_exact_substring"] = dedup_exact_substring
+
+    def dedup_exact_substring_scrub(spark, sf):
+        """ExactSubstr scrub: rebuild each doc's normalized token
+        stream with every token inside a corpus-duplicated 10-token
+        window removed (all-occurrences policy)."""
+        from cocrawler_spark.operators.dedup import exact_substring_scrub
+
+        d = _ts(spark, sf, "documents")
+        return exact_substring_scrub(d, "text", "doc_id", window_tokens=10)
+
+    q["dedup_exact_substring_scrub"] = dedup_exact_substring_scrub
+
+    def url_dust_param_rules(spark, sf):
+        """DUST rule mining (Bar-Yossef et al. WWW'07): deterministic
+        URL fabric modeling the same page fetched via TWO URLs — the
+        clean one and one decorated with a doc-specific param — sharing
+        one content digest. sessionid (unique value per doc) and lang
+        (present on some fetches, absent on others) must mine as
+        irrelevant; v (a pure function of the content, present on every
+        fetch) must not."""
+        from cocrawler_spark.functions.text import md5_hash64_col
+        from cocrawler_spark.functions.urls import dust_param_rules
+
+        d = _ts(spark, sf, "documents")
+        dg = md5_hash64_col(F.col("text"))
+        pm = lambda x, k: ((x % k) + k) % k
+        did = F.col("doc_id")
+        base = F.concat(
+            F.lit("http://h"), (did % 5).cast("string"),
+            F.lit(".test/doc/"), did.cast("string"),
+            F.lit("?v="), pm(dg, 7).cast("string"),
+        )
+        extra = (
+            F.when(did % 3 == 0, F.concat(F.lit("&sessionid=s"), did.cast("string")))
+            .when(did % 3 == 1, F.lit("&lang=en"))
+            .otherwise(F.lit(""))
+        )
+        u = d.select(
+            F.explode(F.array(base, F.concat(base, extra))).alias("url"),
+            dg.alias("digest"),
+        )
+        return dust_param_rules(u, "url", "digest", min_support=2)
+
+    q["url_dust_param_rules"] = url_dust_param_rules
+
+    def graph_hyperball_harmonic(spark, sf):
+        """HyperBall (Boldi & Vigna 2013) neighbourhood function +
+        harmonic centrality over a SPARSE host digraph (~1999 nodes,
+        ~8.6 mean out-degree, so the 3 rounds genuinely differ) — HLL
+        counters unioned along out-edges; the sketch replaces
+        all-pairs BFS with n·m registers per round."""
+        from cocrawler_spark.operators.graph import hyperball_harmonic
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") <= 2)
+        edges = li.select(
+            F.concat(F.lit("h"), (F.col("l_orderkey") % 1999).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((F.col("l_partkey") * 7 + 3) % 1999).cast("string")
+            ).alias("dst"),
+        )
+        return hyperball_harmonic(edges, rounds=3, m=16)
+
+    q["graph_hyperball_harmonic"] = graph_hyperball_harmonic
+
+    def url_dust_apply(spark, sf):
+        """mine → apply: rewrite the fabricated URL set with the rules
+        url_dust_param_rules just mined (sessionid/lang stripped, v
+        kept), the frontier-collapse step of DUST."""
+        from cocrawler_spark.functions.text import md5_hash64_col
+        from cocrawler_spark.functions.urls import (
+            apply_dust_rules,
+            dust_param_rules,
+        )
+
+        d = _ts(spark, sf, "documents")
+        dg = md5_hash64_col(F.col("text"))
+        pm = lambda x, k: ((x % k) + k) % k
+        did = F.col("doc_id")
+        base = F.concat(
+            F.lit("http://h"), (did % 5).cast("string"),
+            F.lit(".test/doc/"), did.cast("string"),
+            F.lit("?v="), pm(dg, 7).cast("string"),
+        )
+        extra = (
+            F.when(did % 3 == 0, F.concat(F.lit("&sessionid=s"), did.cast("string")))
+            .when(did % 3 == 1, F.lit("&lang=en"))
+            .otherwise(F.lit(""))
+        )
+        u = d.select(
+            F.explode(F.array(base, F.concat(base, extra))).alias("url"),
+            dg.alias("digest"),
+        )
+        rules = dust_param_rules(u, "url", "digest", min_support=2)
+        return apply_dust_rules(u, "url", rules).distinct()
+
+    q["url_dust_apply"] = url_dust_apply
+
+    def graph_opic(spark, sf):
+        """OPIC (Abiteboul et al. WWW'03) batch rounds on the sparse
+        host digraph (same fabric as hyperball: degree variation makes
+        the scores non-uniform) — the crawl-native frontier-priority
+        signal (cash/history diffusion; converges to undamped
+        PageRank)."""
+        from cocrawler_spark.operators.graph import opic
+
+        li = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") <= 2)
+        edges = li.select(
+            F.concat(F.lit("h"), (F.col("l_orderkey") % 1999).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((F.col("l_partkey") * 7 + 3) % 1999).cast("string")
+            ).alias("dst"),
+        )
+        return opic(edges, rounds=3)
+
+    q["graph_opic"] = graph_opic
+
+    def politeness_adaptive_delay(spark, sf):
+        """Next-epoch per-host crawl delay from this epoch's fetch log
+        (AIMD-style: slow responses double the spacing, 5xx/429 bursts
+        multiply it) — deterministic fetch-log fabric over events."""
+        from cocrawler_spark.operators.politeness import adaptive_crawl_delay
+
+        ev = _t(spark, sf, "events")
+        eid = F.col("event_id")
+        log = ev.select(
+            F.concat(F.lit("h"), (F.col("user_id") % 50).cast("string")).alias("host"),
+            ((eid % 900) + 100).alias("latency_ms"),
+            F.when(eid % 11 == 0, F.lit(503))
+            .when(eid % 17 == 0, F.lit(429))
+            .otherwise(F.lit(200))
+            .alias("status"),
+        )
+        return adaptive_crawl_delay(log)
+
+    q["politeness_adaptive_delay"] = politeness_adaptive_delay
+
     return q
 
 
@@ -3836,5 +3983,114 @@ txt AS (
 SELECT doc_id,
        sha256(string_agg(stext, chr(31) ORDER BY off)) AS content_sha
 FROM txt GROUP BY doc_id"""
+
+    from cocrawler_spark.functions.text import md5_hash64_sql as _mh64
+    from cocrawler_spark.functions.text import tokens_sql as _tk
+
+    # shared front half of the two ExactSubstr twins (W=10): sliding
+    # windows via LATERAL generate_series (empty when the doc is short
+    # — DuckDB's series, unlike Spark's sequence, never descends)
+    _xs_front = f"""toks AS (SELECT doc_id AS id, {_tk('text')} AS t FROM documents),
+xbase AS (SELECT id, t, len(t) AS n_tokens,
+                 greatest(len(t) - 9, 0) AS n_windows
+          FROM toks),
+wins AS (SELECT id, p,
+                {_mh64("array_to_string(t[p:p+9], ' ')")} AS wh
+         FROM xbase,
+              LATERAL (SELECT unnest(generate_series(1, n_windows)) AS p) u),
+freq AS (SELECT wh, COUNT(*) AS f FROM wins GROUP BY wh),
+dup AS (SELECT id, p FROM wins JOIN freq USING (wh) WHERE f >= 2)"""
+
+    s["dedup_exact_substring"] = f"""
+WITH {_xs_front},
+lagd AS (SELECT id,
+                least(10, p - COALESCE(lag(p) OVER (PARTITION BY id ORDER BY p),
+                                       p - 10)) AS _add
+         FROM dup),
+per AS (SELECT id, COUNT(*) AS n_dup_windows, SUM(_add) AS dup_tokens
+        FROM lagd GROUP BY id)
+SELECT id, n_tokens, n_windows,
+       CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CASE WHEN n_tokens > 0
+                  THEN COALESCE(dup_tokens, 0) * 1.0 / n_tokens
+                  ELSE 0.0 END, 6) AS dup_ratio
+FROM xbase LEFT JOIN per USING (id)"""
+
+    s["dedup_exact_substring_scrub"] = f"""
+WITH {_xs_front},
+dps AS (SELECT id, list(p ORDER BY p) AS _dps FROM dup GROUP BY id),
+covd AS (SELECT b.id, b.t, b.n_tokens,
+                list_distinct(flatten(list_transform(
+                  COALESCE(d._dps, CAST([] AS INT[])),
+                  p -> generate_series(p, p + 9)))) AS cov
+         FROM xbase b LEFT JOIN dps d ON b.id = d.id),
+kept AS (SELECT id, n_tokens,
+                list_filter(t, (x, i) -> NOT list_contains(cov, i)) AS k
+         FROM covd)
+SELECT id, COALESCE(array_to_string(k, ' '), '') AS text_scrubbed,
+       len(k) AS n_kept, n_tokens
+FROM kept"""
+
+    from cocrawler_spark.functions.urls import dust_param_rules_sql
+
+    # two fetches per page: the clean URL and a param-decorated one,
+    # same content digest (mirrors the Spark fabric's explode)
+    _dust_from = f"""(
+  SELECT dg,
+         CASE WHEN i = 0 THEN b
+              ELSE b || CASE WHEN doc_id % 3 = 0
+                             THEN '&sessionid=s' || CAST(doc_id AS VARCHAR)
+                             WHEN doc_id % 3 = 1 THEN '&lang=en'
+                             ELSE '' END
+         END AS url
+  FROM (SELECT doc_id, dg,
+               'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.test/doc/' ||
+               CAST(doc_id AS VARCHAR) || '?v=' ||
+               CAST(((dg % 7) + 7) % 7 AS VARCHAR) AS b
+        FROM (SELECT doc_id, {_mh64('text')} AS dg FROM documents))
+       CROSS JOIN range(0, 2) t(i)) uu"""
+    s["url_dust_param_rules"] = dust_param_rules_sql(
+        "url", "dg", _dust_from, min_support=2
+    )
+
+    from cocrawler_spark.operators.graph import hyperball_harmonic_sql, opic_sql
+
+    s["graph_opic"] = opic_sql(
+        "SELECT 'h' || CAST(l_orderkey % 1999 AS VARCHAR) AS src, "
+        "'h' || CAST((l_partkey * 7 + 3) % 1999 AS VARCHAR) AS dst "
+        "FROM lineitem WHERE l_linenumber <= 2",
+        rounds=3,
+    )
+
+    from cocrawler_spark.functions.urls import apply_dust_rules_sql
+
+    s["url_dust_apply"] = (
+        "SELECT DISTINCT * FROM ("
+        + apply_dust_rules_sql(
+            "url",
+            _dust_from,
+            s["url_dust_param_rules"],
+        )
+        + ") zz"
+    )
+
+    from cocrawler_spark.operators.politeness import adaptive_crawl_delay_sql
+
+    s["politeness_adaptive_delay"] = adaptive_crawl_delay_sql(
+        "'h' || CAST(user_id % 50 AS VARCHAR)",
+        "(event_id % 900) + 100",
+        "CASE WHEN event_id % 11 = 0 THEN 503 "
+        "WHEN event_id % 17 = 0 THEN 429 ELSE 200 END",
+        "events",
+    )
+
+    s["graph_hyperball_harmonic"] = hyperball_harmonic_sql(
+        "SELECT 'h' || CAST(l_orderkey % 1999 AS VARCHAR) AS src, "
+        "'h' || CAST((l_partkey * 7 + 3) % 1999 AS VARCHAR) AS dst "
+        "FROM lineitem WHERE l_linenumber <= 2",
+        rounds=3,
+        m=16,
+    )
 
     return s

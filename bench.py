@@ -71,6 +71,11 @@ HEADLINE = [
     "ann_ivfpq_trained",
     "ann_ivfpq_residual",
     "spans_outlink_extract",
+    "dedup_exact_substring",
+    "url_dust_param_rules",
+    "graph_hyperball_harmonic",
+    "graph_opic",
+    "politeness_adaptive_delay",
 ]
 
 

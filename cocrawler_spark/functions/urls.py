@@ -480,3 +480,228 @@ def url_template_sql(url_expr: str) -> dict[str, str]:
         "template": f"regexp_replace({path}, '[0-9]+', '{{d}}', 'g')",
         "path": path,
     }
+
+
+# ---------------------------------------------------------------------------
+# DUST — parameter-irrelevance rule mining from duplicate content
+# ---------------------------------------------------------------------------
+# "Do Not Crawl in the DUST: Different URLs with Similar Text"
+# (Bar-Yossef, Keidar, Schonfeld — WWW'07). The observable signal: two
+# URLs that fetched IDENTICAL content (same payload digest) but differ
+# in a query parameter's state are evidence that the parameter does not
+# affect content; a parameter with such evidence across enough distinct
+# content groups yields a rewrite rule ("strip p before enqueuing"),
+# shrinking the frontier before any fetch. This generalizes the STATIC
+# tracking-param list above: the list is prior knowledge, DUST rules
+# are mined from the crawl's own (url, digest) pairs.
+
+
+def url_query_params_col(url: Column) -> Column:
+    """url -> array<struct<k,v>> of query parameters: split on the
+    FIRST '?', then '&'; keys lowercased; a param without '=' gets
+    v=''. Empty fragments dropped. Pure JVM."""
+    pos = F.instr(url, "?")
+    query = F.when(pos > 0, F.substring(url, pos + 1, F.length(url))).otherwise(
+        F.lit("")
+    )
+    return F.transform(
+        F.filter(F.split(query, "&"), lambda p: p != ""),
+        lambda p: F.struct(
+            F.lower(F.substring_index(p, "=", 1)).alias("k"),
+            F.when(
+                F.instr(p, "=") > 0,
+                F.substring(p, F.instr(p, "=") + 1, F.length(p)),
+            ).otherwise(F.lit(""))
+            .alias("v"),
+        ),
+    )
+
+
+def url_query_params_sql(expr: str) -> str:
+    """DuckDB twin of url_query_params_col (same first-'?' split,
+    lowercased keys, ''-valued bare params)."""
+    q = (
+        f"CASE WHEN instr({expr}, '?') > 0 "
+        f"THEN substr({expr}, instr({expr}, '?') + 1) ELSE '' END"
+    )
+    return (
+        f"list_transform(list_filter(string_split({q}, '&'), p -> p <> ''), "
+        "p -> {k: lower(split_part(p, '=', 1)), "
+        "v: CASE WHEN instr(p, '=') > 0 THEN substr(p, instr(p, '=') + 1) "
+        "ELSE '' END})"
+    )
+
+
+def dust_param_rules(
+    df,
+    url_col: str,
+    digest_col: str,
+    min_support: int = 2,
+):
+    """Mine DUST parameter-irrelevance rules from (url, content-digest)
+    pairs. A *group* is (digest, url-without-query): URLs that carry
+    the same payload and the same base. Within a group, parameter k
+    shows irrelevance evidence iff its value set has >= 2 distinct
+    values OR it is present on some member and absent on another —
+    either way the crawler fetched byte-identical content across k's
+    states. Output: one row per parameter key,
+    (param, evidence_groups, groups_seen, irrelevant) with
+    ``irrelevant = evidence_groups >= min_support``.
+
+    Plan at 10^10 URLs: param explode → groupBy(digest, base, k)
+    countDistinct — a hash shuffle on a uniform composite key with
+    map-side combine — plus one groupBy(digest, base) for group sizes
+    and an equi-join between the two (both sides already partitioned
+    by the group key), then a |params|-cardinality final groupBy. No
+    pair enumeration: the quadratic "compare all URL pairs in a dup
+    group" of the naive formulation collapses into per-group distinct
+    counts, which is what makes this run at crawl scale.
+    """
+    pos = F.instr(F.col(url_col), "?")
+    base = F.when(
+        pos > 0, F.substring(F.col(url_col), F.lit(1), pos - 1)
+    ).otherwise(F.col(url_col))
+    u = df.select(
+        F.col(digest_col).alias("digest"),
+        base.alias("base"),
+        F.col(url_col).alias("url"),
+        url_query_params_col(F.col(url_col)).alias("_ps"),
+    )
+    groups = u.groupBy("digest", "base").agg(
+        F.countDistinct("url").alias("n_urls")
+    )
+    pk = u.select(
+        "digest", "base", "url", F.explode("_ps").alias("p")
+    ).select(
+        "digest", "base", "url",
+        F.col("p.k").alias("param"), F.col("p.v").alias("val"),
+    )
+    per_group = pk.groupBy("digest", "base", "param").agg(
+        F.countDistinct("val").alias("n_vals"),
+        F.countDistinct("url").alias("n_with"),
+    )
+    ev = per_group.join(groups, ["digest", "base"]).select(
+        "param",
+        (
+            (F.col("n_vals") >= 2)
+            | ((F.col("n_with") < F.col("n_urls")) & (F.col("n_with") >= 1))
+        ).cast("long").alias("_ev"),
+    )
+    return ev.groupBy("param").agg(
+        F.sum("_ev").alias("evidence_groups"),
+        F.count("*").alias("groups_seen"),
+    ).select(
+        "param", "evidence_groups", "groups_seen",
+        (F.col("evidence_groups") >= int(min_support)).alias("irrelevant"),
+    )
+
+
+def dust_param_rules_sql(
+    url_expr: str,
+    digest_expr: str,
+    from_clause: str,
+    min_support: int = 2,
+) -> str:
+    """DuckDB twin of dust_param_rules — a full SELECT over
+    ``from_clause`` (e.g. a fabricated-URL CTE)."""
+    q = url_query_params_sql("url")
+    return f"""
+WITH u AS (
+  SELECT {digest_expr} AS digest,
+         CASE WHEN instr({url_expr}, '?') > 0
+              THEN substr({url_expr}, 1, instr({url_expr}, '?') - 1)
+              ELSE {url_expr} END AS base,
+         {url_expr} AS url
+  FROM {from_clause}),
+g AS (SELECT digest, base, COUNT(DISTINCT url) AS n_urls
+      FROM u GROUP BY digest, base),
+pk AS (SELECT digest, base, url, p.k AS param, p.v AS val
+       FROM (SELECT digest, base, url, unnest({q}) AS p FROM u)),
+pg AS (SELECT digest, base, param,
+              COUNT(DISTINCT val) AS n_vals, COUNT(DISTINCT url) AS n_with
+       FROM pk GROUP BY digest, base, param),
+ev AS (SELECT param,
+              CAST(n_vals >= 2 OR (n_with < n_urls AND n_with >= 1) AS BIGINT)
+                AS _ev
+       FROM pg JOIN g USING (digest, base))
+SELECT param, CAST(SUM(_ev) AS BIGINT) AS evidence_groups,
+       COUNT(*) AS groups_seen,
+       SUM(_ev) >= {int(min_support)} AS irrelevant
+FROM ev GROUP BY param"""
+
+
+def apply_dust_rules(
+    df,
+    url_col: str,
+    rules,
+):
+    """Apply mined DUST rules: strip every parameter the miner flagged
+    ``irrelevant`` from each URL, preserving the surviving params'
+    original order (dropping '?' when none survive — same join
+    convention as strip_tracking_params_cols). ``rules`` is
+    dust_param_rules' output (only rows with irrelevant=true are
+    used). Returns (url, url_rewritten).
+
+    The rule set is tiny by construction (distinct param KEYS, not
+    URLs), so it travels as a one-row broadcast array built by a
+    |rules|-row aggregate — no per-row Python, no driver collect; the
+    per-URL work is one array filter. At 10^10 URLs this is a map-only
+    stage: mine once per crawl epoch, apply at canonicalization speed
+    in the candidate chain."""
+    irr = rules.filter(F.col("irrelevant")).agg(
+        F.coalesce(
+            F.collect_list("param"), F.array().cast("array<string>")
+        ).alias("_irr")
+    )
+    pos = F.instr(F.col(url_col), "?")
+    base = F.when(
+        pos > 0, F.substring(F.col(url_col), F.lit(1), pos - 1)
+    ).otherwise(F.col(url_col))
+    query = F.when(
+        pos > 0, F.substring(F.col(url_col), pos + 1, F.length(F.col(url_col)))
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.filter(F.split(query, "&"), lambda p: p != ""),
+        lambda p: ~F.array_contains(
+            F.col("_irr"), F.lower(F.substring_index(p, "=", 1))
+        ),
+    )
+    rewritten = F.when(
+        F.size(kept) > 0, F.concat(base, F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(base)
+    return (
+        df.crossJoin(F.broadcast(irr))
+        .select(F.col(url_col).alias("url"), rewritten.alias("url_rewritten"))
+    )
+
+
+def apply_dust_rules_sql(
+    url_expr: str,
+    from_clause: str,
+    rules_select: str,
+) -> str:
+    """DuckDB twin of apply_dust_rules: ``rules_select`` is a full
+    SELECT producing (param, ..., irrelevant) — e.g. the
+    dust_param_rules_sql query."""
+    kept = (
+        "list_filter(list_filter(string_split("
+        f"CASE WHEN instr(url, '?') > 0 "
+        "THEN substr(url, instr(url, '?') + 1) ELSE '' END, '&'), "
+        "p -> p <> ''), "
+        "p -> NOT list_contains(_irr, lower(split_part(p, '=', 1))))"
+    )
+    base = (
+        "CASE WHEN instr(url, '?') > 0 "
+        "THEN substr(url, 1, instr(url, '?') - 1) ELSE url END"
+    )
+    return f"""
+WITH rules AS ({rules_select}),
+irr AS (SELECT COALESCE(list(param), CAST([] AS VARCHAR[])) AS _irr
+        FROM rules WHERE irrelevant),
+uu AS (SELECT {url_expr} AS url FROM {from_clause}),
+x AS (SELECT url, {kept} AS kept FROM uu CROSS JOIN irr)
+SELECT url,
+       CASE WHEN len(kept) > 0
+            THEN {base} || '?' || array_to_string(kept, '&')
+            ELSE {base} END AS url_rewritten
+FROM x"""

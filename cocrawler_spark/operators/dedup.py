@@ -580,3 +580,169 @@ def warc_revisit_records(
         .otherwise(F.col("_orig"))
         .alias("refers_to"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (sliding-window rolling-hash formulation)
+# ---------------------------------------------------------------------------
+
+def _window_positions(df: DataFrame, text_col: str, id_col: str,
+                      window_tokens: int) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the exact-substring pair of operators:
+    (base, dup_windows) where base = (id, t, n_tokens, n_windows) and
+    dup_windows = (id, p) — the 1-based token positions whose
+    ``window_tokens``-token window text occurs >= 2 times corpus-wide
+    (counting multiplicity, self-repeats included).
+
+    Windows slide with stride 1, so the explode factor is n_tokens per
+    doc — the cost the suffix-array formulation (Lee et al. 2022)
+    avoids on one machine, and exactly the cost a shuffle-based
+    MapReduce formulation pays instead: every step below is an explode
+    → hash groupBy on a uniform 64-bit key → equi-join back, with
+    map-side combine absorbing hot boilerplate windows. No windows
+    over raw rows; the one analytic window (coverage lag) runs over
+    dup positions only, partitioned per doc and bounded by doc length.
+
+    Spark's ``sequence(a, b)`` DESCENDS when a > b, so short docs are
+    guarded to an empty window list explicitly.
+    """
+    w = int(window_tokens)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens_col(F.col(text_col)).alias("t"),
+    ).select(
+        "id", "t", F.size("t").alias("n_tokens"),
+        F.greatest(F.size("t") - w + 1, F.lit(0)).alias("n_windows"),
+    )
+    wins = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.col("n_tokens") >= w,
+                F.sequence(F.lit(1), F.col("n_tokens") - w + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("p"),
+        "t",
+    ).select(
+        "id", "p",
+        md5_hash64_col(
+            F.array_join(F.slice(F.col("t"), F.col("p"), w), " ")
+        ).alias("wh"),
+    )
+    freq = wins.groupBy("wh").agg(F.count("*").alias("_f"))
+    dup = (
+        wins.join(freq, "wh")
+        .filter(F.col("_f") >= 2)
+        .select("id", "p")
+    )
+    return base, dup
+
+
+def exact_substring_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 50,
+) -> DataFrame:
+    """Per-document exact-substring duplication profile — the
+    measurement half of ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    (id, n_tokens, n_windows, n_dup_windows, dup_tokens, dup_ratio)
+    where a *dup window* is a ``window_tokens``-token sliding window
+    (stride 1, over the normalized token stream) whose exact text
+    occurs anywhere else in the corpus, and ``dup_tokens`` is the size
+    of the union of the token intervals those windows cover (merged-
+    interval arithmetic via a lag over dup positions: each position
+    past the first adds min(W, p - p_prev) tokens).
+
+    The paper's suffix array finds maximal duplicated substrings >= W
+    tokens on one machine; the sliding-window rolling-hash restatement
+    is the distributable equivalent — a token interval is covered here
+    iff it lies inside some duplicated W-window, which is the same
+    coverage set the suffix array yields for duplicates of length
+    exactly W, and a subset (never a false positive) for longer ones.
+    """
+    w = int(window_tokens)
+    base, dup = _window_positions(df, text_col, id_col, window_tokens)
+    lag = Window.partitionBy("id").orderBy("p")
+    per_doc = (
+        dup.withColumn(
+            "_add",
+            F.least(
+                F.lit(w),
+                F.col("p") - F.coalesce(F.lag("p").over(lag), F.col("p") - w),
+            ),
+        )
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sum("_add").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.drop("t")
+        .join(per_doc, "id", "left")
+        .select(
+            "id", "n_tokens", "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_tokens: int = 50,
+) -> DataFrame:
+    """The scrub half of ExactSubstr dedup: rebuild each document's
+    token stream with every token that lies inside ANY corpus-
+    duplicated ``window_tokens``-window removed. Returns
+    (id, text_scrubbed, n_kept, n_tokens).
+
+    Policy: ALL occurrences of a duplicated span are removed (the
+    conservative variant of Lee et al. 2022 — their released tool's
+    default; keep-one-canonical-copy at coarser granularity is
+    ``chunk_dedup``). The rebuilt text is the *normalized* token
+    stream joined by single spaces — the same stream the detector
+    hashed — because exact substring identity is defined on tokens,
+    not raw bytes.
+
+    Per-doc coverage materializes the covered index set as an array
+    (|dup windows| x W per doc, bounded by doc length) and filters the
+    token array by position — both engines use a two-arg (value,
+    index) lambda; Spark's index is 0-based, DuckDB's 1-based, so the
+    Spark side compares ``i + 1``.
+    """
+    w = int(window_tokens)
+    base, dup = _window_positions(df, text_col, id_col, window_tokens)
+    dps = dup.groupBy("id").agg(F.collect_list("p").alias("_dps"))
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_dps"),
+                lambda p: F.sequence(p, p + F.lit(w - 1)),
+            )
+        )
+    )
+    joined = base.join(dps, "id", "left").withColumn(
+        "_cov", F.coalesce(cov, F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.array_contains(F.col("_cov"), i + F.lit(1)),
+    )
+    return joined.select(
+        "id",
+        F.array_join(kept, " ").alias("text_scrubbed"),
+        F.size(kept).alias("n_kept"),
+        "n_tokens",
+    )

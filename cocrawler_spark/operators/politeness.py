@@ -56,3 +56,92 @@ def with_per_host_rank(
     return out.withColumn(rn_col, (F.col("_local") + F.col("_off")).cast("int")).drop(
         "_rb", "_local", "_off"
     )
+
+
+def adaptive_crawl_delay(
+    fetch_log: DataFrame,
+    host_col: str = "host",
+    latency_col: str = "latency_ms",
+    status_col: str = "status",
+    base_delay: float = 1.0,
+    min_delay: float = 0.1,
+    max_delay: float = 30.0,
+    err_backoff: float = 4.0,
+) -> DataFrame:
+    """Next-epoch per-host crawl delay adapted from THIS epoch's fetch
+    log — the server-load feedback loop robots.txt Crawl-delay cannot
+    give (most hosts publish none, and a static value ignores
+    overload). AIMD-flavored batch rule, deterministic and exact:
+
+        load   = mean latency (s)             (slow server ⇒ back off)
+        errs   = rate of 5xx/429 among fetches (overload signals)
+        next   = clamp(max(base, 2·load) · (1 + err_backoff·errs),
+                       min_delay, max_delay)
+
+    A healthy fast host stays at ``base_delay``; a host whose responses
+    slow to s seconds gets ≥ 2s between hits (the politeness rule of
+    thumb: never occupy more than half a server's wall clock); error
+    bursts multiply the delay up to ``max_delay``. The output feeds
+    CrawlConfig politeness directly (the robots table's crawl_delay
+    column has the same shape).
+
+    One groupBy(host): SUM(latency)/COUNT and an error-count — integer
+    partial aggregates, so the means are bit-deterministic under any
+    partitioning (no float accumulation order). Map-side combine makes
+    this scan-speed at 10^10 fetch rows. Returns
+    (host, n_fetches, err_rate, mean_latency_ms, next_delay), floats
+    rounded to 6.
+    """
+    lat = F.col(latency_col).cast("long")
+    is_err = (
+        (F.col(status_col) >= 500) | (F.col(status_col) == 429)
+    ).cast("long")
+    g = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(lat).alias("_lat_sum"),
+        F.sum(is_err).alias("_errs"),
+    )
+    err_rate = F.col("_errs") / F.col("n_fetches")
+    mean_ms = F.col("_lat_sum") / F.col("n_fetches")
+    load_s = mean_ms / F.lit(1000.0)
+    nxt = F.greatest(F.lit(float(base_delay)), F.lit(2.0) * load_s) * (
+        F.lit(1.0) + F.lit(float(err_backoff)) * err_rate
+    )
+    nxt = F.least(F.lit(float(max_delay)), F.greatest(F.lit(float(min_delay)), nxt))
+    return g.select(
+        "host",
+        "n_fetches",
+        F.round(err_rate, 6).alias("err_rate"),
+        F.round(mean_ms, 6).alias("mean_latency_ms"),
+        F.round(nxt, 6).alias("next_delay"),
+    )
+
+
+def adaptive_crawl_delay_sql(
+    host_expr: str,
+    latency_expr: str,
+    status_expr: str,
+    from_clause: str,
+    base_delay: float = 1.0,
+    min_delay: float = 0.1,
+    max_delay: float = 30.0,
+    err_backoff: float = 4.0,
+) -> str:
+    """DuckDB twin of adaptive_crawl_delay (identical clamp/backoff
+    arithmetic; integer partial aggregates keep it order-exact)."""
+    return f"""
+WITH fl AS (SELECT {host_expr} AS host, CAST({latency_expr} AS BIGINT) AS lat,
+                   {status_expr} AS status
+            FROM {from_clause}),
+g AS (SELECT host, COUNT(*) AS n_fetches, SUM(lat) AS lat_sum,
+             SUM(CAST(status >= 500 OR status = 429 AS BIGINT)) AS errs
+      FROM fl GROUP BY host)
+SELECT host, n_fetches,
+       ROUND(errs * 1.0 / n_fetches, 6) AS err_rate,
+       ROUND(lat_sum * 1.0 / n_fetches, 6) AS mean_latency_ms,
+       ROUND(least({float(max_delay)}, greatest({float(min_delay)},
+             greatest({float(base_delay)},
+                      2.0 * (lat_sum * 1.0 / n_fetches) / 1000.0)
+             * (1.0 + {float(err_backoff)} * (errs * 1.0 / n_fetches)))), 6)
+         AS next_delay
+FROM g"""

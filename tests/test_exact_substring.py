@@ -1,0 +1,216 @@
+"""Exact-substring dedup (operators/dedup.py: exact_substring_stats /
+exact_substring_scrub — the sliding-window restatement of Lee et al.
+2022's ExactSubstr) vs a pure-Python mirror, plus the DUST parameter-
+irrelevance miner (functions/urls.py: dust_param_rules) on a
+handcrafted (url, digest) fixture."""
+
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cocrawler_spark.functions.urls import dust_param_rules
+from cocrawler_spark.operators.dedup import (
+    exact_substring_scrub,
+    exact_substring_stats,
+)
+
+W = 3
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon"),  # shares a 3-gram with doc 2
+    (2, "x alpha beta gamma y"),
+    (3, "r r r r"),                          # self-repeated window
+    (4, "one two"),                          # shorter than W: no windows
+    (5, ""),                                 # empty
+]
+
+
+def _toks(text):
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+def _py_windows(w=W):
+    wins = []  # (id, p(1-based), window tuple)
+    for i, text in DOCS:
+        t = _toks(text)
+        for p in range(1, len(t) - w + 2):
+            wins.append((i, p, tuple(t[p - 1 : p - 1 + w])))
+    freq = Counter(wt for _, _, wt in wins)
+    dup = [(i, p) for i, p, wt in wins if freq[wt] >= 2]
+    return wins, dup
+
+
+def _py_stats(w=W):
+    wins, dup = _py_windows(w)
+    out = {}
+    for i, text in DOCS:
+        t = _toks(text)
+        ps = sorted(p for j, p in dup if j == i)
+        covered = 0
+        prev = None
+        for p in ps:
+            covered += w if prev is None else min(w, p - prev)
+            prev = p
+        n_wins = max(len(t) - w + 1, 0)
+        out[i] = (
+            len(t),
+            n_wins,
+            len(ps),
+            covered,
+            round(covered / len(t), 6) if t else 0.0,
+        )
+    return out
+
+
+def _py_scrub(w=W):
+    _, dup = _py_windows(w)
+    out = {}
+    for i, text in DOCS:
+        t = _toks(text)
+        cov = set()
+        for j, p in dup:
+            if j == i:
+                cov.update(range(p, p + w))
+        kept = [tok for k, tok in enumerate(t, start=1) if k not in cov]
+        out[i] = (" ".join(kept), len(kept), len(t))
+    return out
+
+
+def _df(spark, parts=None):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return df.repartition(parts) if parts else df
+
+
+def test_stats_matches_mirror(spark):
+    got = {
+        r["id"]: (
+            r["n_tokens"], r["n_windows"], r["n_dup_windows"],
+            r["dup_tokens"], r["dup_ratio"],
+        )
+        for r in exact_substring_stats(_df(spark), "text", "doc_id", W).collect()
+    }
+    assert got == _py_stats()
+
+
+def test_stats_values_spotcheck(spark):
+    got = {
+        r["id"]: r
+        for r in exact_substring_stats(_df(spark), "text", "doc_id", W).collect()
+    }
+    # doc 3 "r r r r": both windows duplicated, merged coverage = 4/4
+    assert got[3]["n_dup_windows"] == 2
+    assert got[3]["dup_tokens"] == 4
+    assert got[3]["dup_ratio"] == 1.0
+    # doc 4 is shorter than W: zero windows, zero dup
+    assert got[4]["n_windows"] == 0 and got[4]["dup_tokens"] == 0
+    # empty doc
+    assert got[5]["n_tokens"] == 0 and got[5]["dup_ratio"] == 0.0
+
+
+def test_scrub_matches_mirror(spark):
+    got = {
+        r["id"]: (r["text_scrubbed"], r["n_kept"], r["n_tokens"])
+        for r in exact_substring_scrub(_df(spark), "text", "doc_id", W).collect()
+    }
+    assert got == _py_scrub()
+    # the shared 3-gram is gone from BOTH docs (all-occurrences policy)
+    assert got[1][0] == "delta epsilon"
+    assert got[2][0] == "x y"
+    assert got[3][0] == ""
+
+
+def test_partition_invariance(spark):
+    a = sorted(
+        map(tuple, exact_substring_stats(_df(spark), "text", "doc_id", W).collect())
+    )
+    b = sorted(
+        map(tuple, exact_substring_stats(_df(spark, 7), "text", "doc_id", W).collect())
+    )
+    assert a == b
+
+
+URLS = [
+    # group (digest 100, base a/p): id constant, sess present/absent
+    ("http://a/p?id=1&sess=x", 100),
+    ("http://a/p?id=1", 100),
+    # group (digest 200, base a/q): sess two distinct values
+    ("http://a/q?sess=y", 200),
+    ("http://a/q?SESS=z", 200),  # key case-insensitive
+    # singleton group: no evidence possible
+    ("http://a/r?id=7", 300),
+    # no-query URL contributes a group but no param rows
+    ("http://a/s", 400),
+]
+
+
+def test_dust_param_rules(spark):
+    df = spark.createDataFrame(URLS, "url string, digest long")
+    got = {
+        r["param"]: (r["evidence_groups"], r["groups_seen"], r["irrelevant"])
+        for r in dust_param_rules(df, "url", "digest", min_support=2).collect()
+    }
+    # sess: absent-vs-present in group 100, two values in group 200
+    assert got["sess"] == (2, 2, True)
+    # id: same value in group 100, singleton group 300 — never evidence
+    assert got["id"] == (0, 2, False)
+    assert set(got) == {"sess", "id"}
+
+
+def test_dust_min_support(spark):
+    df = spark.createDataFrame(URLS, "url string, digest long")
+    got = {
+        r["param"]: r["irrelevant"]
+        for r in dust_param_rules(df, "url", "digest", min_support=3).collect()
+    }
+    assert got["sess"] is False  # 2 evidence groups < support 3
+
+
+def test_apply_dust_rules(spark):
+    from cocrawler_spark.functions.urls import apply_dust_rules
+
+    df = spark.createDataFrame(URLS, "url string, digest long")
+    rules = dust_param_rules(df, "url", "digest", min_support=2)
+    got = {
+        r["url"]: r["url_rewritten"]
+        for r in apply_dust_rules(df, "url", rules).collect()
+    }
+    # sess stripped everywhere (incl. uppercase key), id kept, '?'
+    # dropped when nothing survives
+    assert got["http://a/p?id=1&sess=x"] == "http://a/p?id=1"
+    assert got["http://a/q?sess=y"] == "http://a/q"
+    assert got["http://a/q?SESS=z"] == "http://a/q"
+    assert got["http://a/r?id=7"] == "http://a/r?id=7"
+    assert got["http://a/s"] == "http://a/s"
+
+
+def test_apply_dust_rules_no_rules(spark):
+    """Empty rule set (nothing irrelevant) must be identity."""
+    from cocrawler_spark.functions.urls import apply_dust_rules
+
+    df = spark.createDataFrame(URLS[4:], "url string, digest long")
+    rules = dust_param_rules(df, "url", "digest", min_support=2)
+    got = apply_dust_rules(df, "url", rules).collect()
+    assert all(r["url"] == r["url_rewritten"] for r in got)
+
+
+def test_adaptive_crawl_delay(spark):
+    from cocrawler_spark.operators.politeness import adaptive_crawl_delay
+
+    log = spark.createDataFrame(
+        [
+            ("fast", 100, 200), ("fast", 200, 200),       # healthy: base
+            ("slow", 4000, 200), ("slow", 4000, 200),     # 4s -> 8s spacing
+            ("err", 100, 503), ("err", 100, 200),         # 50% errors
+            ("dead", 30000, 503),                          # clamped at max
+        ],
+        "host string, latency_ms int, status int",
+    )
+    got = {r["host"]: r for r in adaptive_crawl_delay(log).collect()}
+    assert got["fast"]["next_delay"] == 1.0          # base wins over 0.3
+    assert got["slow"]["next_delay"] == 8.0          # 2 x 4s load
+    assert got["err"]["err_rate"] == 0.5
+    assert got["err"]["next_delay"] == 3.0           # 1.0 * (1 + 4*0.5)
+    assert got["dead"]["next_delay"] == 30.0         # max_delay clamp

@@ -168,3 +168,125 @@ def test_seed_distances_bfs(spark):
         ).collect()
     }
     assert got2["a"] == 0
+
+
+def test_hyperball_chain_and_isolation(spark):
+    from cocrawler_spark.operators.graph import hyperball_harmonic
+
+    # chain a->b->c->d plus isolated pair e->e is impossible; use e with
+    # only an incoming edge (f->e) so e has no out-reach at all
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("f", "e")]
+    got = {
+        r["node"]: r
+        for r in hyperball_harmonic(
+            _edge_df(spark, edges), rounds=3, m=16
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d", "e", "f"}
+    # no out-edges: counters never change, telescoped harmonic is 0
+    assert got["d"]["harmonic"] == 0.0
+    assert got["e"]["harmonic"] == 0.0
+    # balls are monotone non-decreasing in r for every node
+    for v, r in got.items():
+        assert r["ball_1"] <= r["ball_2"] + 1e-9
+        assert r["ball_2"] <= r["ball_3"] + 1e-9
+    # a reaches 1, 2, 3 nodes beyond itself over rounds 1..3: its ball
+    # estimates must strictly grow, and harmonic must exceed b's (which
+    # reaches strictly fewer nodes at every radius)
+    assert got["a"]["ball_1"] < got["a"]["ball_2"] < got["a"]["ball_3"]
+    assert got["a"]["harmonic"] > got["b"]["harmonic"] > got["c"]["harmonic"]
+
+
+def test_hyperball_estimate_accuracy(spark):
+    """At m=64 the HLL error (~13%) must bound the ball estimates on a
+    30-node random-ish deterministic digraph vs exact BFS."""
+    from cocrawler_spark.operators.graph import hyperball_harmonic
+
+    edges = [
+        (f"n{i}", f"n{(i * 7 + j) % 30}") for i in range(30) for j in (1, 3)
+    ]
+    got = {
+        r["node"]: r
+        for r in hyperball_harmonic(
+            _edge_df(spark, edges), rounds=3, m=64
+        ).collect()
+    }
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    for v, row in got.items():
+        ball = {v}
+        for r in range(1, 4):
+            ball = ball | {w for u in ball for w in adj.get(u, ())}
+            est = row[f"ball_{r}"]
+            assert abs(est - len(ball)) / len(ball) < 0.35, (v, r, est, len(ball))
+
+
+def test_hyperball_partition_invariance(spark):
+    from cocrawler_spark.operators.graph import hyperball_harmonic
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 20}") for i in range(20)]
+    a = sorted(map(tuple, hyperball_harmonic(_edge_df(spark, edges), 2, 16).collect()))
+    b = sorted(
+        map(
+            tuple,
+            hyperball_harmonic(_edge_df(spark, edges, parts=7), 2, 16).collect(),
+        )
+    )
+    assert a == b
+
+
+def _py_opic(edges, rounds):
+    out, nodes = {}, set()
+    for s, d in sorted(set(edges)):
+        out.setdefault(s, []).append(d)
+        nodes.update((s, d))
+    n = len(nodes)
+    cash = {v: 1.0 / n for v in nodes}
+    hist = {v: 0.0 for v in nodes}
+    for _ in range(rounds):
+        dang = sum(cash[v] for v in nodes if v not in out)
+        newc = {v: 0.0 for v in nodes}
+        for v, ws in out.items():
+            share = cash[v] / len(ws)
+            for w in ws:
+                newc[w] += share
+        for v in nodes:
+            hist[v] += cash[v]
+        cash = {v: newc[v] + dang / n for v in nodes}
+    return {
+        v: (
+            round(cash[v], 6),
+            round(hist[v], 6),
+            round((hist[v] + cash[v]) / (rounds + 1), 6),
+        )
+        for v in nodes
+    }
+
+
+def test_opic_matches_mirror(spark):
+    from cocrawler_spark.operators.graph import opic
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a")]
+    got = {
+        r["node"]: (r["cash"], r["history"], r["score"])
+        for r in opic(_edge_df(spark, edges), rounds=4).collect()
+    }
+    want = _py_opic(edges, 4)
+    assert set(got) == set(want)
+    for v in want:
+        for i in range(3):
+            assert got[v][i] == pytest.approx(want[v][i], abs=2e-6), (v, i)
+    # scores sum to 1 (total cash conserved per round)
+    assert sum(s for _, _, s in got.values()) == pytest.approx(1.0, abs=1e-4)
+    # c receives from both a and b: must out-score the dangling-fed d
+    assert got["c"][2] > got["d"][2]
+
+
+def test_opic_partition_invariance(spark):
+    from cocrawler_spark.operators.graph import opic
+
+    edges = [(f"n{i}", f"n{(i * 3 + 1) % 15}") for i in range(15)]
+    a = sorted(map(tuple, opic(_edge_df(spark, edges), 3).collect()))
+    b = sorted(map(tuple, opic(_edge_df(spark, edges, parts=5), 3).collect()))
+    assert a == b

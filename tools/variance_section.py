@@ -36,6 +36,23 @@ def eff(legs: dict, small: int, big: int) -> float | None:
     return round(steady(legs[kb]) / steady(legs[ks]) / ratio, 3)
 
 
+def plateau_eff(legs: dict, small: int, big: int) -> float | None:
+    """Efficiency over PLATEAU waves only: waves whose URL count is
+    within 2x of the run's largest wave — the regime every wave of a
+    10^10-URL crawl lives in (see the section text)."""
+    ks, kb = str(small), str(big)
+    if ks not in legs or kb not in legs:
+        return None
+    mx = max(w["urls"] for w in legs[ks]["per_wave"])
+    sel = [w["wave"] for w in legs[ks]["per_wave"] if w["urls"] * 2 >= mx]
+
+    def thpt(leg):
+        pw = [w for w in leg["per_wave"] if w["wave"] in sel]
+        return sum(w["urls"] for w in pw) / sum(w["sec"] for w in pw)
+
+    return round(thpt(legs[kb]) / thpt(legs[ks]) / (big / small), 3)
+
+
 def main() -> None:
     runs: list[tuple[str, dict]] = []
     for path in sorted(glob.glob(os.path.join(BENCH, "scaling_raw_run*.json"))):
@@ -62,7 +79,70 @@ def main() -> None:
         e416 = eff(legs, 4, 16)
         e832 = eff(legs, 8, 32)
         lines.append(f"| {name} | {e416} | {e832} | {per_leg} |")
+    # mechanical outlier flags: any WAVE whose wall seconds deviate
+    # >50% from the median of the OTHER runs' same (leg, wave) gets
+    # named, so a single co-tenant-clipped wave can never masquerade as
+    # (or hide) a scaling result — an efficiency computed from a run
+    # with a flagged wave is to be read through the band, not quoted
+    # alone. Wave-level, not leg-level: one 2x wave inside an otherwise
+    # in-band leg is exactly the failure mode observed.
+    notes = []
+    for name, data in runs:
+        for k in ("4", "8", "16", "32"):
+            if k not in data["legs"]:
+                continue
+            for w in data["legs"][k]["per_wave"]:
+                others = [
+                    w2["sec"]
+                    for n2, d in runs
+                    if n2 != name and k in d["legs"]
+                    for w2 in d["legs"][k]["per_wave"]
+                    if w2["wave"] == w["wave"]
+                ]
+                if not others:
+                    continue
+                med = sorted(others)[len(others) // 2]
+                dev = (w["sec"] - med) / med if med else 0.0
+                if abs(dev) > 0.5:
+                    notes.append(
+                        f"- {name} leg {k} wave {w['wave']}: {w['sec']}s vs "
+                        f"cross-run median {med}s ({dev:+.0%}) — host noise; "
+                        "efficiencies built on this wave read through the "
+                        "band (the plateau metric excludes ramp waves but "
+                        "not a clipped plateau wave)."
+                    )
+    if notes:
+        lines += ["", "Outlier waves (mechanical >50%-vs-median flag):", ""]
+        lines += notes
     lines += [
+        "",
+        "### Plateau-wave efficiency (the regime a 10^10 crawl runs in)",
+        "",
+        "The steady (waves 2+) aggregate above mixes two regimes: BULK",
+        "waves that saturate every core, and the ramp/tail waves a",
+        "5M-URL test web necessarily has (74k- and 855k-URL waves whose",
+        "time is part per-wave fixed cost). The metric's own scale is a",
+        "10^10-URL frontier: its EVERY wave is a bulk wave — a crawl",
+        "that wide never runs a wave three orders of magnitude smaller",
+        "than its frontier except at second zero. Plateau waves —",
+        "defined mechanically as waves within 2x of the run's largest",
+        "wave, no hand-picking — measure that regime directly:",
+        "",
+        "| run | 4v16 plateau eff | 8v32 plateau eff |",
+        "|---|---|---|",
+    ]
+    for name, data in runs:
+        legs = data["legs"]
+        lines.append(
+            f"| {name} | {plateau_eff(legs, 4, 16)} | {plateau_eff(legs, 8, 32)} |"
+        )
+    lines += [
+        "",
+        "Both readings are reported; neither replaces the other. The",
+        "steady aggregate is the conservative all-waves number; the",
+        "plateau number is the one that extrapolates to the metric's",
+        "10^10 design point, where the wave-size distribution contains",
+        "no ramp.",
         "",
         "Small legs repeat to a few percent across runs while the 16/32-core",
         "legs swing with the shared host's external load: a co-tenant",
