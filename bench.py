@@ -187,23 +187,35 @@ def main():
     spark = build_session(cpus, "cocrawler-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     t_all = time.time()
-    qtimes = run_queries(spark, sf_dir)
+    # crawl leg FIRST: the BASELINE.json metric is crawl URLs/s, so it
+    # gets the clean session (no GC/broadcast debris from 45+ queries);
+    # the query leg inherits the warmup instead
     crawl = run_crawl_bench(spark, crawl_size)
+    qtimes = run_queries(spark, sf_dir)
     total = round(time.time() - t_all, 2)
     spark.stop()
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": sf,
-                "crawl": crawl,
-                "cpus": cpus,
-            }
-        )
+    out = {
+        "metric": "total_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "crawl": crawl,
+        "cpus": cpus,
+    }
+    # same-commit solo-control evidence (BENCH/control.json, updated by
+    # tools/record_control.py): lets a single driver-shot crawl number
+    # be read against the host-noise band measured at the same code
+    ctl_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "control.json"
     )
+    if os.path.exists(ctl_path):
+        try:
+            with open(ctl_path) as fh:
+                out["control"] = json.load(fh)
+        except Exception:
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
