@@ -145,6 +145,42 @@ def band_keys(
     )
 
 
+def band_keys_col(text, k: int = 16, bands: int = 4, shingle_n: int = 3):
+    """Per-ROW LSH band keys: array<struct<band:int, bkey:string>> of a
+    text column, value-identical to ``band_keys`` (same shingle hashes,
+    same per-permutation min, same band-key md5 — equality pinned by
+    tests/test_streaming_neardup.py).
+
+    The batch path computes signatures via explode + groupBy because a
+    long document's shingle array can be re-used across K mins after a
+    single shuffle; this column form computes the same K mins with
+    ``array_min`` inside the row — zero shuffles, no aggregation — which
+    is what a *streaming* stage needs (an agg upstream of a stateful
+    operator is not allowed in append mode)."""
+    sh = shingle_hashes_col(text, shingle_n)
+
+    def _perm(i: int):
+        # NOTE: must be a ONE-argument lambda — F.transform passes the
+        # array INDEX as a second argument to any two-parameter lambda,
+        # so the `lambda s, i=i:` idiom silently rebinds i per element
+        return lambda s: md5_hash64_col(
+            F.concat(F.lit(f"{i}:"), s.cast("string"))
+        )
+
+    sigs = [F.array_min(F.transform(sh, _perm(i))) for i in range(k)]
+    rows_per_band = k // bands
+    structs = []
+    for b in range(bands):
+        cols = [sigs[b * rows_per_band + r] for r in range(rows_per_band)]
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bkey"),
+            )
+        )
+    return F.array(*structs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,

@@ -34,7 +34,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..functions.text import langid_col, quality_cols
 
@@ -132,6 +138,174 @@ def exact_dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+NEARDUP_VERDICT_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("text", StringType()),
+        StructField("h", StringType()),
+        StructField("band", IntegerType()),
+        StructField("bkey", StringType()),
+        StructField("occupied", BooleanType()),
+    ]
+)
+NEARDUP_STATE_SCHEMA = StructType([StructField("bkeys_blob", StringType())])
+
+
+def _bucket_state_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-(band, bkey-shard) group: state is the set of bucket keys
+    occupied by PRIOR micro-batches. Emits every input row with an
+    ``occupied`` flag against that prior state (never against rows of
+    the same batch — the within-batch min-id rule runs statelessly in
+    the sink reduction, exactly where the batch pipeline runs it), then
+    absorbs the batch's keys."""
+    if state.exists:
+        (blob,) = state.get
+        occupied = set(blob.split(_SEP)) if blob else set()
+    else:
+        occupied = set()
+    fresh: set = set()
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        out = pdf[["id", "text", "h", "band", "bkey"]].copy()
+        out["occupied"] = out["bkey"].isin(occupied)
+        fresh.update(out["bkey"])
+        yield out
+    occupied.update(fresh)
+    state.update((_SEP.join(sorted(occupied)),))
+
+
+def lsh_neardup_verdicts_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "id",
+    minhash_k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """STATEFUL half of incremental MinHash-LSH near-dup dedup: the
+    occupied-LSH-bucket set lives in checkpointed streaming state
+    (``applyInPandasWithState`` keyed by (band, 2-hex bkey shard) —
+    bands·256 uniform groups), replacing the driver-held ``buckets``
+    DataFrame of plans/pipeline.py's IncrementalPipelineState.
+
+    Band keys are computed per-row (``band_keys_col`` — zero shuffles,
+    value-identical to the batch ``band_keys``), exploded to one row per
+    (doc, band), and flagged against prior-batch occupancy. Output is a
+    verdict stream (id, text, h, band, bkey, occupied); finish a batch
+    with ``neardup_survivors`` (stateless — the within-batch exact
+    collapse + min-id bucket rule of the batch pipeline) either in a
+    foreachBatch sink (``neardup_dedup_sink``) or downstream.
+
+    Split rationale: Spark permits ONE arbitrary-stateful operator per
+    streaming query, and the batch rule needs a cross-bucket OR per doc
+    (a doc is dropped if ANY of its buckets hits history) that a single
+    bucket-keyed group cannot see — so the stateful stage emits
+    per-bucket facts and the per-doc reduction runs per micro-batch,
+    which is exactly the batch plan's own structure (state_hit →
+    window → anti-join). Scale: state is O(distinct buckets) spread
+    over uniform shards; rows shuffled once on (band, shard)."""
+    from ..operators.dedup import band_keys_col
+
+    prepared = stream.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(text_col).alias("text"),
+        F.md5(text_col).alias("h"),
+        band_keys_col(F.col(text_col), minhash_k, bands, shingle_n).alias("_bbs"),
+    ).select(
+        "id",
+        "text",
+        "h",
+        F.explode("_bbs").alias("bb"),
+    ).select(
+        "id",
+        "text",
+        "h",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bkey").alias("bkey"),
+        F.substring("bb.bkey", 1, 2).alias("_shard"),
+    )
+    return prepared.groupBy("band", "_shard").applyInPandasWithState(
+        _bucket_state_fn,
+        outputStructType=NEARDUP_VERDICT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def neardup_survivors(
+    verdicts: DataFrame, max_bucket: Optional[int] = 1024
+) -> DataFrame:
+    """STATELESS finish of one micro-batch's verdict rows → surviving
+    (id, text). Mirrors IncrementalPipelineState.step line for line:
+    exact collapse to the min-id representative per text hash, drop any
+    doc with an occupied bucket (state_hit), then the bucket-local
+    min-id rule over the LIVE members only (window count + min, capped
+    at ``max_bucket``)."""
+    from pyspark.sql import Window
+
+    w_h = Window.partitionBy("h")
+    reps = (
+        verdicts.withColumn("_rid", F.min("id").over(w_h))
+        .filter(F.col("id") == F.col("_rid"))
+        .drop("_rid")
+    )
+    w_id = Window.partitionBy("id")
+    live = (
+        reps.withColumn("_hit", F.max(F.col("occupied").cast("int")).over(w_id))
+        .filter(F.col("_hit") == 0)
+        .drop("_hit")
+    )
+    wb = Window.partitionBy("band", "bkey")
+    sized = live.withColumn("_bn", F.count("*").over(wb)).withColumn(
+        "_mn", F.min("id").over(wb)
+    )
+    loser = (F.col("_bn") > 1) & (F.col("id") != F.col("_mn"))
+    if max_bucket is not None:
+        loser = loser & (F.col("_bn") <= max_bucket)
+    w_id2 = Window.partitionBy("id")
+    return (
+        sized.withColumn("_lose", F.max(loser.cast("int")).over(w_id2))
+        .filter(F.col("_lose") == 0)
+        .groupBy("id")
+        .agg(F.first("text").alias("text"))
+    )
+
+
+def neardup_dedup_sink(
+    stream: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "id",
+    minhash_k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: Optional[int] = 1024,
+):
+    """Incremental near-dup dedup as one streaming query: the stateful
+    bucket stage above + the stateless per-batch reduction in a
+    foreachBatch sink, appending survivors partitioned by micro-batch.
+    Returns the DataStreamWriter (set checkpointLocation, .start())."""
+    verdicts = lsh_neardup_verdicts_stream(
+        stream, text_col, id_col, minhash_k, bands, shingle_n
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            neardup_survivors(batch_df, max_bucket)
+            .withColumn("batch", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return verdicts.writeStream.foreachBatch(_process)
 
 
 def incremental_pipeline_sink(
