@@ -102,18 +102,38 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 16, shingle_n: int = 3
 ) -> DataFrame:
     """(id, sig_0..sig_{k-1}): sig_i = min over shingles of
-    md5h(i || ':' || shingle). One explode + one groupBy shuffle."""
-    ex = df.select(
+    md5h(i || ':' || shingle).
+
+    ZERO-shuffle formulation: the shingle array is materialized once in
+    its own projection (the boundary matters — inlining the shingle
+    expression into each of the K array_min transforms re-tokenizes the
+    document K times, measured 3x slower at sf0.1), then each
+    permutation is an in-row array_min. The previous explode + groupBy
+    form shuffled every (doc, shingle) occurrence — at 100 TB that is a
+    corpus-token-count-sized exchange buying nothing: total hash compute
+    is identical, and sf0.1 wall time is a wash (1.1-1.3 s both ways,
+    warmed local[32]), so the shuffle was pure overhead. Values are
+    bit-identical (pinned vs band_keys_col and by the driver's
+    dedup_minhash_* oracle pairs)."""
+    base = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_hashes_col(F.col(text_col), shingle_n)).alias("sh"),
+        shingle_hashes_col(F.col(text_col), shingle_n).alias("_sh"),
     )
-    aggs = [
-        F.min(md5_hash64_col(F.concat(F.lit(f"{i}:"), F.col("sh").cast("string")))).alias(
-            f"sig_{i}"
+
+    def _perm(i: int):
+        # one-argument lambda: F.transform feeds the array index to a
+        # second parameter, which would rebind i per element
+        return lambda s: md5_hash64_col(
+            F.concat(F.lit(f"{i}:"), s.cast("string"))
         )
-        for i in range(k)
-    ]
-    return ex.groupBy("id").agg(*aggs)
+
+    return base.select(
+        "id",
+        *[
+            F.array_min(F.transform(F.col("_sh"), _perm(i))).alias(f"sig_{i}")
+            for i in range(k)
+        ],
+    )
 
 
 def band_keys(
@@ -145,19 +165,25 @@ def band_keys(
     )
 
 
-def band_keys_col(text, k: int = 16, bands: int = 4, shingle_n: int = 3):
+def band_keys_col(
+    text,
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    pre_shingled: bool = False,
+):
     """Per-ROW LSH band keys: array<struct<band:int, bkey:string>> of a
     text column, value-identical to ``band_keys`` (same shingle hashes,
     same per-permutation min, same band-key md5 — equality pinned by
-    tests/test_streaming_neardup.py).
+    tests/test_streaming_neardup.py). Zero shuffles, no aggregation —
+    usable upstream of a stateful streaming operator (where an agg is
+    not allowed in append mode).
 
-    The batch path computes signatures via explode + groupBy because a
-    long document's shingle array can be re-used across K mins after a
-    single shuffle; this column form computes the same K mins with
-    ``array_min`` inside the row — zero shuffles, no aggregation — which
-    is what a *streaming* stage needs (an agg upstream of a stateful
-    operator is not allowed in append mode)."""
-    sh = shingle_hashes_col(text, shingle_n)
+    Callers SHOULD materialize the shingle array in its own projection
+    and pass it with ``pre_shingled=True``: handed the raw text column,
+    the K transforms each inline the full tokenize+shingle expression
+    (K× per-row recompute, measured 3x at sf0.1)."""
+    sh = text if pre_shingled else shingle_hashes_col(text, shingle_n)
 
     def _perm(i: int):
         # NOTE: must be a ONE-argument lambda — F.transform passes the

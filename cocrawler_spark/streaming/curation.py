@@ -211,13 +211,20 @@ def lsh_neardup_verdicts_stream(
     which is exactly the batch plan's own structure (state_hit →
     window → anti-join). Scale: state is O(distinct buckets) spread
     over uniform shards; rows shuffled once on (band, shard)."""
-    from ..operators.dedup import band_keys_col
+    from ..operators.dedup import band_keys_col, shingle_hashes_col
 
     prepared = stream.select(
         F.col(id_col).cast("string").alias("id"),
         F.col(text_col).alias("text"),
         F.md5(text_col).alias("h"),
-        band_keys_col(F.col(text_col), minhash_k, bands, shingle_n).alias("_bbs"),
+        shingle_hashes_col(F.col(text_col), shingle_n).alias("_sh"),
+    ).select(
+        "id",
+        "text",
+        "h",
+        band_keys_col(
+            F.col("_sh"), minhash_k, bands, shingle_n, pre_shingled=True
+        ).alias("_bbs"),
     ).select(
         "id",
         "text",
