@@ -804,6 +804,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["train_pipeline_incr"] = train_pipeline_incr
 
+    def streaming_neardup_dedup(spark, sf):
+        """REAL Structured Streaming incremental near-dup dedup: the
+        documents table split into two deterministic micro-batches
+        (doc_id parity) fed through a file source → the checkpointed
+        LSH-bucket-state stage (applyInPandasWithState keyed by
+        (band, bkey shard)) → the stateless per-batch survivor
+        reduction in a foreachBatch sink; returns the survivors read
+        back from the sink. Ids are zero-padded to 8 digits so the
+        stage's string MIN matches the oracle's numeric MIN.
+
+        Same dedup semantics as train_pipeline_incr minus the quality
+        gates (equality also pinned against IncrementalPipelineState in
+        tests/test_streaming_neardup.py); the oracle is the near-dup
+        portion of that pair's two-batch unrolled SQL."""
+        import shutil
+        import tempfile
+
+        from cocrawler_spark.streaming.curation import neardup_dedup_sink
+
+        d = _ts(spark, sf, "documents").select(
+            F.format_string("%08d", F.col("doc_id")).alias("id"),
+            "text",
+            (F.col("doc_id") % 2).alias("par"),
+        )
+        base = tempfile.mkdtemp(prefix="neardup_stream_")
+        try:
+            src = os.path.join(base, "src")
+            out = os.path.join(base, "out")
+            ck = os.path.join(base, "ck")
+            os.makedirs(src)
+            # batch 0 is on disk BEFORE the query starts so the first
+            # trigger is exactly batch 0 (no empty leading trigger)
+            d.filter(F.col("par") == 0).select("id", "text").write.parquet(
+                src + "/b0"
+            )
+            stream = (
+                spark.readStream.schema("id string, text string")
+                .option("maxFilesPerTrigger", "1000000")
+                .parquet(src + "/*")
+            )
+            q = (
+                neardup_dedup_sink(
+                    stream, out, minhash_k=8, bands=4, shingle_n=3,
+                    max_bucket=1024,
+                )
+                .option("checkpointLocation", ck)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                d.filter(F.col("par") == 1).select("id", "text").write.parquet(
+                    src + "/b1"
+                )
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            # materialize off the temp dir before it is removed
+            rows = spark.read.parquet(out).select("id", "text")
+            return spark.createDataFrame(
+                rows.collect(), "id string, text string"
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
+    q["streaming_neardup_dedup"] = streaming_neardup_dedup
+
     # --- near-dup clustering: connected components over LSH pairs ------------
     def dedup_cluster_components(spark, sf):
         """MinHash-LSH candidate pairs → transitive near-dup clusters
@@ -2912,6 +2978,64 @@ WHERE n_tokens >= 5 AND alpha_ratio >= 0.5 AND stopword_ratio >= 0.0
   AND (CASE WHEN mx.s <= 0 THEN 'und' ELSE mx.l END) IN ('en')"""
 
     s["train_pipeline_incr"] = _incr_pipeline_sql()
+
+    def _streaming_neardup_sql() -> str:
+        """Near-dup-only portion of the two-batch incremental twin
+        (no quality gates), over zero-padded string ids so MIN() agrees
+        with the streaming stage's string ids."""
+        sh_expr = md5_hash64_sql("array_to_string(t[i:i+2], ' ')")
+        shlist = (
+            "list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1), "
+            f"i -> {sh_expr}))"
+        )
+        sig_local = ", ".join(
+            "MIN("
+            + md5_hash64_sql(f"'{i}:' || CAST(sh AS VARCHAR)")
+            + f") AS sig_{i}"
+            for i in range(8)
+        )
+
+        def bands_of(sigs_cte: str) -> str:
+            return " UNION ALL ".join(
+                f"SELECT id, {b} AS band, "
+                f"md5(CAST(sig_{2 * b} AS VARCHAR) || ',' || CAST(sig_{2 * b + 1} AS VARCHAR)) AS bkey "
+                f"FROM {sigs_cte}"
+                for b in range(4)
+            )
+
+        def stage(x: str, src: str) -> str:
+            return f"""
+r{x} AS (SELECT MIN(id) AS id, MIN(text) AS text FROM {src} GROUP BY md5(text)),
+tok{x} AS (SELECT id, {tokens_sql('text')} AS t FROM r{x}),
+shl{x} AS (SELECT id, unnest({shlist}) AS sh FROM tok{x}),
+sig{x} AS (SELECT id, {sig_local} FROM shl{x} GROUP BY id),
+band{x} AS ({bands_of(f'sig{x}')})"""
+
+        return f"""
+WITH
+b0 AS (SELECT printf('%08d', doc_id) AS id, text FROM documents WHERE doc_id % 2 = 0),
+{stage('0', 'b0')},
+bsz0 AS (SELECT band, bkey, COUNT(*) AS n, MIN(id) AS mn FROM band0 GROUP BY band, bkey),
+los0 AS (SELECT DISTINCT b.id FROM band0 b JOIN bsz0 z USING (band, bkey)
+         WHERE z.n > 1 AND z.n <= 1024 AND b.id <> z.mn),
+surv0 AS (SELECT id, text FROM r0 WHERE id NOT IN (SELECT id FROM los0)),
+h0 AS (SELECT DISTINCT md5(text) AS h FROM b0),
+b1 AS (SELECT printf('%08d', doc_id) AS id, text FROM documents WHERE doc_id % 2 = 1),
+f1 AS (SELECT * FROM b1 WHERE md5(text) NOT IN (SELECT h FROM h0)),
+{stage('1', 'f1')},
+hit1 AS (SELECT DISTINCT b.id FROM band1 b
+         JOIN (SELECT DISTINCT band, bkey FROM band0) s USING (band, bkey)),
+live1 AS (SELECT * FROM band1 WHERE id NOT IN (SELECT id FROM hit1)),
+bsz1 AS (SELECT band, bkey, COUNT(*) AS n, MIN(id) AS mn FROM live1 GROUP BY band, bkey),
+los1 AS (SELECT DISTINCT b.id FROM live1 b JOIN bsz1 z USING (band, bkey)
+         WHERE z.n > 1 AND z.n <= 1024 AND b.id <> z.mn),
+surv1 AS (SELECT id, text FROM r1
+          WHERE id NOT IN (SELECT id FROM hit1)
+            AND id NOT IN (SELECT id FROM los1))
+SELECT id, text FROM surv0
+UNION ALL SELECT id, text FROM surv1"""
+
+    s["streaming_neardup_dedup"] = _streaming_neardup_sql()
 
     # transitive near-dup clusters over the LSH candidate pairs: exact
     # recursive reachability wrapped around the pairs oracle above
