@@ -860,10 +860,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 q.processAllAvailable()
             finally:
                 q.stop()
-            # materialize off the temp dir before it is removed
-            rows = spark.read.parquet(out).select("id", "text")
-            return spark.createDataFrame(
-                rows.collect(), "id string, text string"
+            # materialize off the temp dir before it is removed —
+            # eager localCheckpoint keeps the result distributed (no
+            # driver collect) while cutting the lineage to the files
+            return (
+                spark.read.parquet(out)
+                .select("id", "text")
+                .localCheckpoint(eager=True)
             )
         finally:
             shutil.rmtree(base, ignore_errors=True)
