@@ -87,6 +87,7 @@ def main() -> None:
     # alone. Wave-level, not leg-level: one 2x wave inside an otherwise
     # in-band leg is exactly the failure mode observed.
     notes = []
+    flagged: set[tuple[str, int]] = set()
     for name, data in runs:
         for k in ("4", "8", "16", "32"):
             if k not in data["legs"]:
@@ -104,6 +105,7 @@ def main() -> None:
                 med = sorted(others)[len(others) // 2]
                 dev = (w["sec"] - med) / med if med else 0.0
                 if abs(dev) > 0.5:
+                    flagged.add((name, int(k)))
                     notes.append(
                         f"- {name} leg {k} wave {w['wave']}: {w['sec']}s vs "
                         f"cross-run median {med}s ({dev:+.0%}) — host noise; "
@@ -135,6 +137,33 @@ def main() -> None:
         legs = data["legs"]
         lines.append(
             f"| {name} | {plateau_eff(legs, 4, 16)} | {plateau_eff(legs, 8, 32)} |"
+        )
+    # Gate status: the north rule's >= 0.8 criterion, judged ONLY on
+    # runs whose 4- and 16-core legs carry no mechanically-flagged
+    # outlier wave — a slow small leg inflates the ratio, so a pass
+    # built on a flagged wave is not quotable
+    clean = [
+        (name, eff(data["legs"], 4, 16))
+        for name, data in runs
+        if (name, 4) not in flagged and (name, 16) not in flagged
+        and eff(data["legs"], 4, 16) is not None
+    ]
+    passing = [(n, e) for n, e in clean if e >= 0.8]
+    lines += ["", "### Gate status (north_rule: steady 4v16 ≥ 0.8)", ""]
+    if passing:
+        best = max(passing, key=lambda t: t[1])
+        lines.append(
+            f"**MET on clean runs: {', '.join(f'{n} = {e}' for n, e in passing)}** "
+            f"(clean = no >50%-vs-median outlier wave in either leg; "
+            f"best clean run {best[0]} at {best[1]}). Runs with flagged "
+            "legs are excluded from this verdict regardless of their "
+            "ratio — see the outlier list above."
+        )
+    else:
+        lines.append(
+            "Not yet met on a clean run: "
+            + ", ".join(f"{n} = {e}" for n, e in clean)
+            + " (clean = no flagged outlier wave in either leg)."
         )
     lines += [
         "",
