@@ -1201,6 +1201,13 @@ def ivfpq_residual_ann_topk(
         assigned.alias("cluster"),
         residual.alias("_rv"),
     )
+    # materialize the residuals ONCE: every codebook fit below runs
+    # iters driver-collect rounds, and each round's job would otherwise
+    # re-derive the full coarse-assignment + residual chain (m_sub ×
+    # iters recomputes of the most literal-heavy expressions in the
+    # plan). Values are unaffected — the chain is deterministic — and
+    # the checkpoint is O(n·dim) doubles, the same rows the fits scan
+    rdf = rdf.localCheckpoint(eager=True)
     books = []
     for s in range(m_sub):
         sub = rdf.select(
