@@ -2432,6 +2432,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["politeness_adaptive_delay"] = politeness_adaptive_delay
 
+    def frontier_skew_stats(spark, sf):
+        """Per-group host-concentration diagnostics (HHI, top-1 /
+        top-10 share) — the monitoring counterpart of the salted-rank /
+        skew-splitting machinery: every aggregate is an integer sum, so
+        the only float is the final division (no summation-order
+        noise). Host analog = user_id, wave analog = event_type."""
+        from cocrawler_spark.operators.politeness import host_skew_stats
+
+        ev = _t(spark, sf, "events").select(
+            F.col("event_type").alias("grp"),
+            F.col("user_id").alias("host"),
+        )
+        return host_skew_stats(ev, "host", "grp")
+
+    q["frontier_skew_stats"] = frontier_skew_stats
+
     return q
 
 
@@ -4218,6 +4234,12 @@ FROM kept"""
         "FROM lineitem WHERE l_linenumber <= 2",
         rounds=3,
         m=16,
+    )
+
+    from cocrawler_spark.operators.politeness import host_skew_stats_sql
+
+    s["frontier_skew_stats"] = host_skew_stats_sql(
+        "user_id", "FROM events", group_expr="event_type"
     )
 
     return s

@@ -145,3 +145,85 @@ SELECT host, n_fetches,
              * (1.0 + {float(err_backoff)} * (errs * 1.0 / n_fetches)))), 6)
          AS next_delay
 FROM g"""
+
+
+# ---------------------------------------------------------------------------
+# host-skew diagnostics
+# ---------------------------------------------------------------------------
+
+def host_skew_stats(
+    df: DataFrame,
+    host_col: str,
+    group_col: str | None = None,
+    topk: int = 10,
+) -> DataFrame:
+    """Per-group host-concentration diagnostics for the frontier: the
+    numbers that tell a scheduler WHEN the skew machinery (salted
+    politeness ranks, hot-host splitting, AQE skew joins) is actually
+    load-bearing. Per group (e.g. wave):
+
+    - ``n_hosts`` / ``total`` — distinct hosts and total rows
+    - ``hhi`` — Herfindahl index Σ share² ∈ (0, 1]; 1/n_hosts when
+      uniform, → 1 as one host dominates
+    - ``top1_share`` / ``topk_share`` — largest-host and top-k share
+
+    Determinism across engines: every aggregate is an INTEGER sum
+    (Σ n, Σ n², max n, Σ top-k n — exact in 64-bit at any plausible
+    group size), and floating point appears only in the final single
+    division, so there is no summation-order noise for the ROUND(·,6)
+    to paper over. One groupBy + one window sharing the same (group,
+    host) exchange + one \\|groups\\|-row aggregate — scan-speed at
+    10^10 frontier rows."""
+    keys = [group_col] if group_col else []
+    per_host = df.groupBy(
+        *keys, F.col(host_col).alias("host")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("n"), F.asc("host"))
+    ranked = per_host.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy(*keys).agg(
+        F.count("*").alias("n_hosts"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("_sq"),
+        F.max("n").alias("_top1"),
+        F.sum(
+            F.when(F.col("rk") <= topk, F.col("n")).otherwise(F.lit(0))
+        ).alias("_topk"),
+    )
+    return agg.select(
+        *keys,
+        "n_hosts",
+        "total",
+        F.round(F.col("_sq") / (F.col("total") * F.col("total")), 6).alias("hhi"),
+        F.round(F.col("_top1") / F.col("total"), 6).alias("top1_share"),
+        F.round(F.col("_topk") / F.col("total"), 6).alias("topk_share"),
+    )
+
+
+def host_skew_stats_sql(
+    host_expr: str,
+    from_clause: str,
+    group_expr: str | None = None,
+    topk: int = 10,
+) -> str:
+    """DuckDB twin of host_skew_stats. Integer sums are cast to BIGINT
+    (DuckDB SUM(BIGINT) widens to HUGEINT) and the products stay
+    integer-exact before the single cast-to-double division."""
+    g = f"{group_expr} AS grp, " if group_expr else ""
+    gsel = "grp, " if group_expr else ""
+    gby = "GROUP BY grp" if group_expr else ""
+    part = "PARTITION BY grp" if group_expr else ""
+    gout = "grp, " if group_expr else ""
+    return f"""
+WITH ph AS (SELECT {g}{host_expr} AS host, COUNT(*) AS n {from_clause} GROUP BY {'grp, ' if group_expr else ''}host),
+rk AS (SELECT *, ROW_NUMBER() OVER ({part} ORDER BY n DESC, host ASC) AS rk FROM ph),
+ag AS (SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n_hosts,
+              CAST(SUM(n) AS BIGINT) AS total,
+              CAST(SUM(n * n) AS BIGINT) AS sq,
+              CAST(MAX(n) AS BIGINT) AS top1,
+              CAST(SUM(CASE WHEN rk <= {topk} THEN n ELSE 0 END) AS BIGINT) AS tk
+       FROM rk {gby})
+SELECT {gout}n_hosts, total,
+       ROUND(CAST(sq AS DOUBLE) / CAST(total * total AS DOUBLE), 6) AS hhi,
+       ROUND(CAST(top1 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top1_share,
+       ROUND(CAST(tk AS DOUBLE) / CAST(total AS DOUBLE), 6) AS topk_share
+FROM ag"""
