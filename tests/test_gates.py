@@ -95,3 +95,23 @@ def test_fake_dns_parity(spark):
         resolved_private_py(fake_dns_ip_py(f"h{i}.test")) for i in range(2000)
     )
     assert some_priv
+
+
+def test_host_skew_stats_uniform_and_skewed(spark):
+    """HHI = 1/n_hosts exactly on a uniform spread; a dominant host
+    drives top1_share and hhi up; integer-exact aggregation means the
+    values are closed-form checkable."""
+    from cocrawler_spark.operators.politeness import host_skew_stats
+
+    uniform = [("w", f"h{i % 5}") for i in range(25)]          # 5 hosts x 5
+    skewed = [("s", "hot")] * 16 + [("s", f"c{i}") for i in range(4)]
+    df = spark.createDataFrame(uniform + skewed, "grp string, host string")
+    rows = {r["grp"]: r for r in host_skew_stats(df, "host", "grp").collect()}
+    u, s = rows["w"], rows["s"]
+    assert u["n_hosts"] == 5 and u["total"] == 25
+    assert abs(u["hhi"] - 0.2) < 1e-9 and abs(u["top1_share"] - 0.2) < 1e-9
+    assert abs(u["topk_share"] - 1.0) < 1e-9
+    assert s["n_hosts"] == 5 and s["total"] == 20
+    # hhi = (16^2 + 4*1)/20^2 = 260/400 = 0.65; top1 = 16/20
+    assert abs(s["hhi"] - 0.65) < 1e-9
+    assert abs(s["top1_share"] - 0.8) < 1e-9
