@@ -4239,7 +4239,7 @@ FROM kept"""
     from cocrawler_spark.operators.politeness import host_skew_stats_sql
 
     s["frontier_skew_stats"] = host_skew_stats_sql(
-        "user_id", "FROM events", group_expr="event_type"
+        "user_id", "events", group_expr="event_type"
     )
 
     return s

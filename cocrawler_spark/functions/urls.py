@@ -541,16 +541,19 @@ def dust_param_rules(
     """Mine DUST parameter-irrelevance rules from (url, content-digest)
     pairs. A *group* is (digest, url-without-query): URLs that carry
     the same payload and the same base. Within a group, parameter k
-    shows irrelevance evidence iff its value set has >= 2 distinct
-    values OR it is present on some member and absent on another —
-    either way the crawler fetched byte-identical content across k's
-    states. Output: one row per parameter key,
-    (param, evidence_groups, groups_seen, irrelevant) with
-    ``irrelevant = evidence_groups >= min_support``.
+    shows irrelevance evidence iff >= 2 DISTINCT URLs carry different
+    canonical value lists for k (the per-URL sorted multiset of k's
+    values, so a single URL repeating a key — ?tag=a&tag=b — is ONE
+    state, never evidence by itself) OR k is present on some member
+    and absent on another — either way the crawler fetched
+    byte-identical content across k's states. Output: one row per
+    parameter key, (param, evidence_groups, groups_seen, irrelevant)
+    with ``irrelevant = evidence_groups >= min_support``.
 
-    Plan at 10^10 URLs: param explode → groupBy(digest, base, k)
-    countDistinct — a hash shuffle on a uniform composite key with
-    map-side combine — plus one groupBy(digest, base) for group sizes
+    Plan at 10^10 URLs: param explode → groupBy(digest, base, k, url)
+    value-signature collapse → groupBy(digest, base, k) countDistinct —
+    hash shuffles on uniform composite keys with map-side combine —
+    plus one groupBy(digest, base) for group sizes
     and an equi-join between the two (both sides already partitioned
     by the group key), then a |params|-cardinality final groupBy. No
     pair enumeration: the quadratic "compare all URL pairs in a dup
@@ -576,14 +579,20 @@ def dust_param_rules(
         "digest", "base", "url",
         F.col("p.k").alias("param"), F.col("p.v").alias("val"),
     )
-    per_group = pk.groupBy("digest", "base", "param").agg(
-        F.countDistinct("val").alias("n_vals"),
-        F.countDistinct("url").alias("n_with"),
+    # canonical per-URL value signature: sorted multiset of k's values
+    # on that URL, so within-URL repetition can never read as
+    # cross-URL variation (each URL contributes exactly one state)
+    per_url = pk.groupBy("digest", "base", "param", "url").agg(
+        F.array_join(F.sort_array(F.collect_list("val")), "\x1e").alias("_vsig")
+    )
+    per_group = per_url.groupBy("digest", "base", "param").agg(
+        F.countDistinct("_vsig").alias("n_sigs"),
+        F.count("*").alias("n_with"),
     )
     ev = per_group.join(groups, ["digest", "base"]).select(
         "param",
         (
-            (F.col("n_vals") >= 2)
+            (F.col("n_sigs") >= 2)
             | ((F.col("n_with") < F.col("n_urls")) & (F.col("n_with") >= 1))
         ).cast("long").alias("_ev"),
     )
@@ -617,11 +626,14 @@ g AS (SELECT digest, base, COUNT(DISTINCT url) AS n_urls
       FROM u GROUP BY digest, base),
 pk AS (SELECT digest, base, url, p.k AS param, p.v AS val
        FROM (SELECT digest, base, url, unnest({q}) AS p FROM u)),
+pu AS (SELECT digest, base, param, url,
+              array_to_string(list_sort(list(val)), chr(30)) AS vsig
+       FROM pk GROUP BY digest, base, param, url),
 pg AS (SELECT digest, base, param,
-              COUNT(DISTINCT val) AS n_vals, COUNT(DISTINCT url) AS n_with
-       FROM pk GROUP BY digest, base, param),
+              COUNT(DISTINCT vsig) AS n_sigs, COUNT(*) AS n_with
+       FROM pu GROUP BY digest, base, param),
 ev AS (SELECT param,
-              CAST(n_vals >= 2 OR (n_with < n_urls AND n_with >= 1) AS BIGINT)
+              CAST(n_sigs >= 2 OR (n_with < n_urls AND n_with >= 1) AS BIGINT)
                 AS _ev
        FROM pg JOIN g USING (digest, base))
 SELECT param, CAST(SUM(_ev) AS BIGINT) AS evidence_groups,

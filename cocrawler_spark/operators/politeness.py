@@ -85,10 +85,20 @@ def adaptive_crawl_delay(
     CrawlConfig politeness directly (the robots table's crawl_delay
     column has the same shape).
 
-    One groupBy(host): SUM(latency)/COUNT and an error-count — integer
-    partial aggregates, so the means are bit-deterministic under any
-    partitioning (no float accumulation order). Map-side combine makes
-    this scan-speed at 10^10 fetch rows. Returns
+    NULL hygiene (ADVICE r4): a timed-out fetch logs NULL latency (and
+    sometimes NULL status) — exactly the hosts that are struggling —
+    so each mean uses its OWN non-null count as denominator:
+    mean_latency over COUNT(latency), err_rate over COUNT(status).
+    Dividing by COUNT(*) would silently deflate both for the failing
+    hosts; dropping the rows entirely would erase a host whose every
+    fetch timed out. A host with zero observed latencies contributes
+    no load term (NULL mean_latency_ms, load treated as 0); zero
+    observed statuses → err_rate 0.
+
+    One groupBy(host): integer partial aggregates only, so the means
+    are bit-deterministic under any partitioning (no float
+    accumulation order). Map-side combine makes this scan-speed at
+    10^10 fetch rows. Returns
     (host, n_fetches, err_rate, mean_latency_ms, next_delay), floats
     rounded to 6.
     """
@@ -98,12 +108,19 @@ def adaptive_crawl_delay(
     ).cast("long")
     g = fetch_log.groupBy(F.col(host_col).alias("host")).agg(
         F.count("*").alias("n_fetches"),
+        F.count(lat).alias("_n_lat"),
         F.sum(lat).alias("_lat_sum"),
+        F.count(F.col(status_col)).alias("_n_status"),
         F.sum(is_err).alias("_errs"),
     )
-    err_rate = F.col("_errs") / F.col("n_fetches")
-    mean_ms = F.col("_lat_sum") / F.col("n_fetches")
-    load_s = mean_ms / F.lit(1000.0)
+    err_rate = F.when(
+        F.col("_n_status") > 0,
+        F.coalesce(F.col("_errs"), F.lit(0)) / F.col("_n_status"),
+    ).otherwise(F.lit(0.0))
+    mean_ms = F.when(
+        F.col("_n_lat") > 0, F.col("_lat_sum") / F.col("_n_lat")
+    )
+    load_s = F.coalesce(mean_ms, F.lit(0.0)) / F.lit(1000.0)
     nxt = F.greatest(F.lit(float(base_delay)), F.lit(2.0) * load_s) * (
         F.lit(1.0) + F.lit(float(err_backoff)) * err_rate
     )
@@ -128,23 +145,33 @@ def adaptive_crawl_delay_sql(
     err_backoff: float = 4.0,
 ) -> str:
     """DuckDB twin of adaptive_crawl_delay (identical clamp/backoff
-    arithmetic; integer partial aggregates keep it order-exact)."""
+    arithmetic and per-column NULL denominators; integer partial
+    aggregates keep it order-exact)."""
     return f"""
 WITH fl AS (SELECT {host_expr} AS host, CAST({latency_expr} AS BIGINT) AS lat,
                    {status_expr} AS status
             FROM {from_clause}),
-g AS (SELECT host, COUNT(*) AS n_fetches, SUM(lat) AS lat_sum,
+g AS (SELECT host, COUNT(*) AS n_fetches,
+             COUNT(lat) AS n_lat, SUM(lat) AS lat_sum,
+             COUNT(status) AS n_status,
              SUM(CAST(status >= 500 OR status = 429 AS BIGINT)) AS errs
-      FROM fl GROUP BY host)
+      FROM fl GROUP BY host),
+d AS (SELECT host, n_fetches,
+             CASE WHEN n_status > 0
+                  THEN COALESCE(errs, 0) * 1.0 / n_status
+                  ELSE 0.0 END AS err_rate,
+             CASE WHEN n_lat > 0
+                  THEN lat_sum * 1.0 / n_lat END AS mean_ms
+      FROM g)
 SELECT host, n_fetches,
-       ROUND(errs * 1.0 / n_fetches, 6) AS err_rate,
-       ROUND(lat_sum * 1.0 / n_fetches, 6) AS mean_latency_ms,
+       ROUND(err_rate, 6) AS err_rate,
+       ROUND(mean_ms, 6) AS mean_latency_ms,
        ROUND(least({float(max_delay)}, greatest({float(min_delay)},
              greatest({float(base_delay)},
-                      2.0 * (lat_sum * 1.0 / n_fetches) / 1000.0)
-             * (1.0 + {float(err_backoff)} * (errs * 1.0 / n_fetches)))), 6)
+                      2.0 * COALESCE(mean_ms, 0.0) / 1000.0)
+             * (1.0 + {float(err_backoff)} * err_rate))), 6)
          AS next_delay
-FROM g"""
+FROM d"""
 
 
 # ---------------------------------------------------------------------------
@@ -205,16 +232,20 @@ def host_skew_stats_sql(
     group_expr: str | None = None,
     topk: int = 10,
 ) -> str:
-    """DuckDB twin of host_skew_stats. Integer sums are cast to BIGINT
-    (DuckDB SUM(BIGINT) widens to HUGEINT) and the products stay
-    integer-exact before the single cast-to-double division."""
+    """DuckDB twin of host_skew_stats. ``from_clause`` is a table or
+    subquery EXPRESSION (e.g. ``"events"``) — the FROM keyword is
+    emitted here, matching adaptive_crawl_delay_sql /
+    dust_param_rules_sql conventions (ADVICE r4). Integer sums are
+    cast to BIGINT (DuckDB SUM(BIGINT) widens to HUGEINT) and the
+    products stay integer-exact before the single cast-to-double
+    division."""
     g = f"{group_expr} AS grp, " if group_expr else ""
     gsel = "grp, " if group_expr else ""
     gby = "GROUP BY grp" if group_expr else ""
     part = "PARTITION BY grp" if group_expr else ""
     gout = "grp, " if group_expr else ""
     return f"""
-WITH ph AS (SELECT {g}{host_expr} AS host, COUNT(*) AS n {from_clause} GROUP BY {'grp, ' if group_expr else ''}host),
+WITH ph AS (SELECT {g}{host_expr} AS host, COUNT(*) AS n FROM {from_clause} GROUP BY {'grp, ' if group_expr else ''}host),
 rk AS (SELECT *, ROW_NUMBER() OVER ({part} ORDER BY n DESC, host ASC) AS rk FROM ph),
 ag AS (SELECT {gsel}CAST(COUNT(*) AS BIGINT) AS n_hosts,
               CAST(SUM(n) AS BIGINT) AS total,

@@ -159,6 +159,38 @@ def test_dust_param_rules(spark):
     assert set(got) == {"sess", "id"}
 
 
+def test_dust_repeated_key_not_evidence(spark):
+    """ADVICE r4 (medium): within-URL key repetition is ONE state.
+
+    A singleton URL carrying ?tag=a&tag=b (multi-value filter) must
+    not count as irrelevance evidence — there is no cross-URL
+    duplicate-content signal at all — and two URLs with IDENTICAL
+    repeated value lists are one state seen twice, also no evidence.
+    Only genuinely differing per-URL value lists count."""
+    rows = [
+        # two singleton groups, each one URL with a repeated key:
+        # old pooled-distinct rule saw n_vals=2 twice -> irrelevant
+        ("http://b/p?tag=a&tag=b", 500),
+        ("http://b/q?tag=c&tag=d", 600),
+        # one group, two URLs, identical repeated values -> one state
+        ("http://b/r?m=1&m=1", 700),
+        ("http://b/r?m=1&m=1&x=0", 700),
+        # one group, two URLs, differing multisets -> evidence
+        ("http://b/s?f=1&f=2", 800),
+        ("http://b/s?f=1", 800),
+    ]
+    df = spark.createDataFrame(rows, "url string, digest long")
+    got = {
+        r["param"]: (r["evidence_groups"], r["irrelevant"])
+        for r in dust_param_rules(df, "url", "digest", min_support=2).collect()
+    }
+    assert got["tag"] == (0, False)
+    assert got["m"] == (0, False)
+    assert got["f"] == (1, False)  # real evidence, below support
+    # x: present on one of two group members -> absence evidence
+    assert got["x"] == (1, False)
+
+
 def test_dust_min_support(spark):
     df = spark.createDataFrame(URLS, "url string, digest long")
     got = {
@@ -205,6 +237,11 @@ def test_adaptive_crawl_delay(spark):
             ("slow", 4000, 200), ("slow", 4000, 200),     # 4s -> 8s spacing
             ("err", 100, 503), ("err", 100, 200),         # 50% errors
             ("dead", 30000, 503),                          # clamped at max
+            # ADVICE r4: NULL latency (timeout) must not deflate the
+            # mean — 4000ms over ONE observed latency, not over two
+            ("tmo", None, 503), ("tmo", 4000, 200),
+            # all fetches timed out: no load term, pure error backoff
+            ("gone", None, 503), ("gone", None, 503),
         ],
         "host string, latency_ms int, status int",
     )
@@ -214,3 +251,8 @@ def test_adaptive_crawl_delay(spark):
     assert got["err"]["err_rate"] == 0.5
     assert got["err"]["next_delay"] == 3.0           # 1.0 * (1 + 4*0.5)
     assert got["dead"]["next_delay"] == 30.0         # max_delay clamp
+    assert got["tmo"]["mean_latency_ms"] == 4000.0   # COUNT(lat)=1
+    assert got["tmo"]["next_delay"] == 24.0          # 2*4s * (1+4*0.5)
+    assert got["gone"]["mean_latency_ms"] is None
+    assert got["gone"]["err_rate"] == 1.0
+    assert got["gone"]["next_delay"] == 5.0          # base * (1+4*1)

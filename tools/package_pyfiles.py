@@ -79,10 +79,10 @@ def _run(packaged: bool, workdir: str) -> dict:
     # cwd is a temp dir in BOTH runs: the packaged run must not see the
     # source tree at all; the in-tree run gets it via PYTHONPATH only.
     err = os.path.join(workdir, f"err_{'zip' if packaged else 'tree'}.log")
-    subprocess.run(
-        cmd, check=True, cwd=workdir, env=env,
-        stdout=open(err + ".out", "w"), stderr=open(err, "w"),
-    )
+    with open(err + ".out", "w") as so, open(err, "w") as se:
+        subprocess.run(
+            cmd, check=True, cwd=workdir, env=env, stdout=so, stderr=se,
+        )
     with open(out) as f:
         return json.load(f)
 
@@ -95,8 +95,13 @@ def main() -> None:
     with tempfile.TemporaryDirectory(prefix="pyfiles_check_") as td:
         a = _run(packaged=True, workdir=td)
         b = _run(packaged=False, workdir=td)
+    # explicit comparison BEFORE any success output (a bare assert is a
+    # no-op under python -O, and printing first would report success on
+    # a divergence — ADVICE r4)
+    if a != b:
+        print(json.dumps({"packaged": a, "in_tree": b}))
+        raise SystemExit(f"packaged vs in-tree crawl diverged: {a} != {b}")
     print(json.dumps({"packaged": a, "in_tree": b}))
-    assert a == b, f"packaged vs in-tree crawl diverged: {a} != {b}"
     print("OK: packaged (--py-files) crawl ≡ in-tree crawl "
           f"(sha_order {a['sha_order'][:16]}…, {a['total_fetched']} pages)")
 
