@@ -2412,6 +2412,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_opic"] = graph_opic
 
+    def frontier_opic_priority(spark, sf):
+        """Chained plan: OPIC cash over the host graph (3 synchronous
+        rounds — the crawl-native importance signal, Abiteboul et al.
+        WWW'03) feeds frontier re-prioritization: pending URLs ranked
+        by their host's OPIC score, top-100. Same shape the engine
+        wires behind cfg.opic_priority (plans/crawl.py), as a graded
+        standalone pair like frontier_pagerank_priority."""
+        from cocrawler_spark.operators.graph import opic
+
+        li = _t(spark, sf, "lineitem")
+        edges = li.select(
+            F.concat(F.lit("h"), (F.col("l_orderkey") % 40).cast("string")).alias("src"),
+            F.concat(
+                F.lit("h"), ((F.col("l_partkey") * 7 + 3) % 40).cast("string")
+            ).alias("dst"),
+        )
+        sc = opic(edges, rounds=3).select(
+            "node", F.col("score").alias("host_cash")
+        )
+        o = _t(spark, sf, "orders")
+        host = F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string"))
+        frontier = o.select(
+            host.alias("host"),
+            F.concat(
+                F.lit("http://"), host, F.lit(".test/o/"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("url"),
+        )
+        return (
+            frontier.join(F.broadcast(sc), frontier["host"] == sc["node"], "left")
+            .select(
+                "url", "host",
+                F.coalesce("host_cash", F.lit(0.0)).alias("host_cash"),
+            )
+            .orderBy(F.col("host_cash").desc(), F.col("url").asc())
+            .limit(100)
+        )
+
+    q["frontier_opic_priority"] = frontier_opic_priority
+
     def politeness_adaptive_delay(spark, sf):
         """Next-epoch per-host crawl delay from this epoch's fetch log
         (AIMD-style: slow responses double the spacing, 5xx/429 bursts
@@ -4204,6 +4244,27 @@ FROM kept"""
         "'h' || CAST((l_partkey * 7 + 3) % 1999 AS VARCHAR) AS dst "
         "FROM lineitem WHERE l_linenumber <= 2",
         rounds=3,
+    )
+
+    # chained plan: the unrolled-OPIC CTEs feeding the same frontier
+    # re-prioritization join as frontier_pagerank_priority
+    s["frontier_opic_priority"] = (
+        "WITH op AS ("
+        + opic_sql(
+            "SELECT 'h' || CAST(l_orderkey % 40 AS VARCHAR) AS src, "
+            "'h' || CAST((l_partkey * 7 + 3) % 40 AS VARCHAR) AS dst "
+            "FROM lineitem",
+            rounds=3,
+        )
+        + """),
+sc AS (SELECT node, score AS host_cash FROM op),
+f AS (SELECT 'h' || CAST(o_custkey % 40 AS VARCHAR) AS host,
+             'http://h' || CAST(o_custkey % 40 AS VARCHAR) || '.test/o/'
+               || CAST(o_orderkey AS VARCHAR) AS url
+      FROM orders)
+SELECT url, f.host, COALESCE(sc.host_cash, 0.0) AS host_cash
+FROM f LEFT JOIN sc ON f.host = sc.node
+ORDER BY host_cash DESC, url ASC LIMIT 100"""
     )
 
     from cocrawler_spark.functions.urls import apply_dust_rules_sql

@@ -76,6 +76,7 @@ HEADLINE = [
     "graph_hyperball_harmonic",
     "graph_opic",
     "politeness_adaptive_delay",
+    "frontier_opic_priority",
 ]
 
 

@@ -69,6 +69,33 @@ class CrawlConfig:
     # steady waves re-encounter ≳30% of candidate pairs (boilerplate
     # nav links dominate by wave 3 on web-shaped graphs).
     memoize_candidates: bool = False
+    # Adaptive crawl delay (VERDICT r4 #2): feed each wave's observed
+    # per-host fetch latency/error rate (operators/politeness.py
+    # adaptive_crawl_delay — AIMD: slow hosts get >= 2x their response
+    # time between hits, 5xx/429 bursts multiply it) back into the NEXT
+    # wave's politeness slotting: effective delay = adaptive output
+    # where a host has been observed, else robots/config delay. State
+    # is a per-wave 'adaptive_delay' delta table (latest observation
+    # wins), reloaded like robots on commit and on resume(). Default
+    # OFF: the simulator models static robots/config delays only, and
+    # the engine/sim equality suite runs with this off.
+    adaptive_delay: bool = False
+    adaptive_min_delay: float = 0.1
+    adaptive_max_delay: float = 30.0
+    adaptive_err_backoff: float = 4.0
+    # OPIC priority feedback (VERDICT r4 #3; Abiteboul et al. WWW'03):
+    # each parsed page distributes integer cash `opic_cash` equally
+    # over its outlinks (a redirect forwards the full amount); cash
+    # accumulates per target HOST in a 'host_cash' delta table, and
+    # wave i's accumulated cash (including wave i's own link graph)
+    # lowers the priority value (= schedules earlier) of wave i+1's
+    # candidates on rich hosts: boost = #thresholds their cash meets,
+    # capped by len(opic_boost_thresholds). Integer cash (floor shares)
+    # keeps the feedback bit-deterministic under any partitioning.
+    # Default OFF (plans unchanged; equality suite runs with it off).
+    opic_priority: bool = False
+    opic_cash: int = 1024
+    opic_boost_thresholds: tuple = (512, 4096)
 
     def to_dict(self) -> dict:
         return asdict(self)

@@ -104,6 +104,7 @@ class CrawlEngine:
         copartition_docs: bool = False,
         docs_partitions: int = 0,
         predistill: bool = False,
+        latency_col_fn=None,
     ):
         self.spark = spark
         # The engine's per-wave lineage is deep; with AQE on, every
@@ -218,6 +219,16 @@ class CrawlEngine:
         self.cand_memo: Optional[DataFrame] = None
         self.robots: Optional[DataFrame] = None
         self.host_counts: Optional[DataFrame] = None
+        # adaptive-delay / OPIC feedback state (cfg.adaptive_delay /
+        # cfg.opic_priority; both default OFF → plans untouched).
+        # Delta tables like robots/host_counts: staged per wave,
+        # view rebuilt from committed paths on commit and resume().
+        # The fetch is simulated, so observed latency is too:
+        # latency_col_fn (url Column -> ms Column) injects it; default
+        # is a deterministic keyed-hash fabric in [100, 1000).
+        self._latency_fn = latency_col_fn
+        self.adaptive_delays: Optional[DataFrame] = None
+        self.host_cash: Optional[DataFrame] = None
         self.total_fetched = 0
         self.seen_total = 0
         self.frontier_count = 0
@@ -398,11 +409,19 @@ class CrawlEngine:
                 F.lit(None).cast("string"),
             ).otherwise(F.col("base")),
         )
+        # OPIC cash rides the pre-collapse as a SUM (occurrences pool
+        # their shares); seed/requeue callers carry no cash column
+        opic = cfg.opic_priority
+        if opic and "_cash" not in candidates.columns:
+            candidates = candidates.withColumn("_cash", F.lit(0).cast("long"))
+        cash_agg = [F.sum("_cash").alias("_cash")] if opic else []
+        cash_sel = ["_cash"] if opic else []
         cand0 = (
             candidates.groupBy("raw", "base", "depth")
             .agg(
                 F.min(F.struct("priority", "via", "is_seed")).alias("_m"),
                 F.count("*").alias("_n"),
+                *cash_agg,
             )
             .select(
                 "raw", "base", "depth",
@@ -410,6 +429,7 @@ class CrawlEngine:
                 F.col("_m.via").alias("via"),
                 F.col("_m.is_seed").alias("is_seed"),
                 "_n",
+                *cash_sel,
             )
         )
         # Candidate memoization (cfg.memoize_candidates; ANALYSIS entry
@@ -507,7 +527,8 @@ class CrawlEngine:
                     F.struct(
                         "priority", "depth", "via", "url", "is_seed", "host", "path",
                     )
-                ).alias("_w")
+                ).alias("_w"),
+                *cash_agg,
             )
             .select(
                 "surt",
@@ -519,8 +540,43 @@ class CrawlEngine:
                 F.col("_w.host").alias("host"),
                 F.col("_w.path").alias("path"),
                 registered_domain_col(F.col("_w.host")).alias("domain"),
+                *cash_sel,
             )
         )
+        if opic:
+            # wave i's link graph → wave i+1's priorities: pool this
+            # wave's cash per host, fold into the accumulated state
+            # (delta-staged like host_counts), and boost candidates on
+            # cash-rich hosts by lowering their priority value one step
+            # per met threshold. Integer sums + threshold compares —
+            # bit-deterministic under any partitioning. deduped is
+            # persisted because the inflow agg adds a second consumer
+            # of the canonicalize chain.
+            deduped = self._persist(deduped)
+            inflow = deduped.groupBy("host").agg(F.sum("_cash").alias("cash"))
+            self._stage_async(
+                "host_cash", self._sized(inflow, self.frontier_count), wave,
+                mode="delta",
+            )
+            prev = self.host_cash
+            cash_now = (
+                self._host_cash_view(inflow.unionByName(prev))
+                if prev is not None
+                else inflow
+            )
+            boost = F.lit(0)
+            for i, th in enumerate(sorted(cfg.opic_boost_thresholds)):
+                boost = F.when(F.col("cash") >= int(th), F.lit(i + 1)).otherwise(
+                    boost
+                )
+            deduped = (
+                deduped.join(cash_now, "host", "left")
+                .withColumn(
+                    "priority",
+                    (F.col("priority") - F.coalesce(boost, F.lit(0))).cast("int"),
+                )
+                .drop("cash", "_cash")
+            )
         # seen anti-membership. With the bloom sidecar, candidates whose
         # bucket bloom probes NEGATIVE are definitely unseen and bypass
         # the exact anti-join (at 10^10 scale that removes most of the
@@ -674,6 +730,23 @@ class CrawlEngine:
             return None
         return df.groupBy("host").agg(F.sum("pages").alias("pages"))
 
+    @staticmethod
+    def _host_cash_view(df: Optional[DataFrame]) -> Optional[DataFrame]:
+        """Accumulated OPIC cash per host over per-wave inflow deltas."""
+        if df is None:
+            return None
+        return df.groupBy("host").agg(F.sum("cash").alias("cash"))
+
+    def _latency_col(self, url_col):
+        """Simulated observed fetch latency in ms (the corpus simulates
+        the network, so latency is injected: latency_col_fn if given,
+        else a deterministic keyed-hash fabric in [100, 1000))."""
+        if self._latency_fn is not None:
+            return self._latency_fn(url_col).cast("long")
+        return (
+            keyed_hash64_col("latency_ms", url_col) % F.lit(900) + F.lit(100)
+        ).cast("long")
+
     def _refresh_state_after_writes(self, wave: int):
         """Point seen/bloom at their on-disk form (fresh lineage) once the
         wave's async writes have landed."""
@@ -816,6 +889,10 @@ class CrawlEngine:
         )
         self.frontier_count = n_new
         self._refresh_state_after_writes(0)
+        if cfg.opic_priority:
+            self.host_cash = self._host_cash_view(
+                self.catalog.load("host_cash", self._base_manifest)
+            )
         self._unpersist_all()
         self.frontier = results["frontier"]
         return self.frontier
@@ -893,7 +970,25 @@ class CrawlEngine:
             self.robots.select("host", "crawl_delay", "allow", "disallow"),
             "host",
             "left",
-        ).withColumn(
+        )
+        if cfg.adaptive_delay and self.adaptive_delays is not None:
+            # measured-latency feedback (cfg.adaptive_delay): hosts
+            # observed in earlier waves take their AIMD delay; unseen
+            # hosts keep robots/config. Same host-keyed left join shape
+            # as robots — one slim table, AQE broadcasts it.
+            fj = (
+                fj.join(
+                    self.adaptive_delays.select("host", "next_delay"),
+                    "host",
+                    "left",
+                )
+                .withColumn(
+                    "crawl_delay",
+                    F.coalesce(F.col("next_delay"), F.col("crawl_delay")),
+                )
+                .drop("next_delay")
+            )
+        fj = fj.withColumn(
             "allowed",
             robots_allowed_udf()(F.col("path"), F.col("allow"), F.col("disallow")),
         )
@@ -1163,6 +1258,30 @@ class CrawlEngine:
             )
         self.total_fetched += pages
 
+        # --- adaptive-delay observation (cfg.adaptive_delay): this
+        # wave's per-host fetch log → AIMD next_delay, staged as a
+        # delta (latest observation per host wins in the view — same
+        # shape as robots); consumed by wave w+1's politeness join.
+        if cfg.adaptive_delay:
+            from ..operators.politeness import adaptive_crawl_delay
+
+            obs = adaptive_crawl_delay(
+                fx.select(
+                    "host",
+                    self._latency_col(F.col("url")).alias("latency_ms"),
+                    "status",
+                ),
+                base_delay=cfg.default_crawl_delay,
+                min_delay=cfg.adaptive_min_delay,
+                max_delay=cfg.adaptive_max_delay,
+                err_backoff=cfg.adaptive_err_backoff,
+            ).select(
+                "host", F.lit(wave).alias("fetched_wave"), "next_delay"
+            )
+            self._stage_async(
+                "adaptive_delay", self._sized(obs, pages), wave, mode="delta"
+            )
+
         # host fetch accounting (per-host budget state): delta per wave
         # (hosts actually fetched), periodic full compaction
         hc_delta = fx.groupBy("host").agg(F.count("*").alias("pages"))
@@ -1229,6 +1348,11 @@ class CrawlEngine:
             "depth",
             "is_seed",
             F.lit("redirect").alias("via"),
+            *(
+                [F.lit(int(cfg.opic_cash)).cast("long").alias("_cash")]
+                if cfg.opic_priority
+                else []
+            ),
         )
 
         # --- parse 200s WITH a text span (content-type gate): the
@@ -1272,8 +1396,23 @@ class CrawlEngine:
             "facets", self._sized(facets, pages * 3), wave, mode="delta"
         )
 
-        link_cands = ol.select(
-            "url", "priority", "depth", F.explode("outlinks").alias("l")
+        # OPIC cash (cfg.opic_priority): each parsed page splits
+        # integer cash equally over its outlinks (floor shares — exact
+        # in doubles at these magnitudes, deterministic); a redirect
+        # forwards the full amount to its single target.
+        cash_cols = []
+        lc_src = ol
+        if cfg.opic_priority:
+            lc_src = ol.withColumn("_od", F.greatest(F.size("outlinks"), F.lit(1)))
+            cash_cols = [
+                F.floor(F.lit(int(cfg.opic_cash)) / F.col("_od"))
+                .cast("long")
+                .alias("_cash")
+            ]
+        link_cands = lc_src.select(
+            "url", "priority", "depth",
+            *(["_od"] if cfg.opic_priority else []),
+            F.explode("outlinks").alias("l"),
         ).select(
             F.col("l.target").alias("raw"),
             F.col("url").alias("base"),
@@ -1286,6 +1425,7 @@ class CrawlEngine:
             (F.col("depth") + 1).alias("depth"),
             F.lit(False).alias("is_seed"),
             F.col("l.kind").alias("via"),
+            *cash_cols,
         )
         # same single-consumer rule as `c` in _add_candidates
         if not self.lean:
@@ -1361,6 +1501,14 @@ class CrawlEngine:
             self.catalog.load("robots", self._base_manifest)
         )
         self.dns_cache = self.catalog.load("dns_cache", self._base_manifest)
+        if self.cfg.adaptive_delay:
+            self.adaptive_delays = self._robots_view(
+                self.catalog.load("adaptive_delay", self._base_manifest)
+            )
+        if self.cfg.opic_priority:
+            self.host_cash = self._host_cash_view(
+                self.catalog.load("host_cash", self._base_manifest)
+            )
         self._unpersist_all()
         self.frontier = results["frontier"]
         self.frontier_count = n_next
@@ -1455,6 +1603,14 @@ class CrawlEngine:
             self.catalog.load("host_counts", m)
         )
         self.dns_cache = self.catalog.load("dns_cache", m)
+        if self.cfg.adaptive_delay:
+            self.adaptive_delays = self._robots_view(
+                self.catalog.load("adaptive_delay", m)
+            )
+        if self.cfg.opic_priority:
+            self.host_cash = self._host_cash_view(
+                self.catalog.load("host_cash", m)
+            )
         if self.use_bloom:
             build_delta, _, _, fmt_key, fmt_ver = self._filter_fns()
 
