@@ -122,6 +122,57 @@ def test_scrub_matches_mirror(spark):
     assert got[3][0] == ""
 
 
+def test_rolling_hash_positions_equal_slice_form(spark):
+    """VERDICT r4 #5: the Karp-Rabin doubling-ladder window hashes
+    (O(n log w)) must flag EXACTLY the positions the original
+    md5(array_join(slice)) form (O(n·w)) flags — window hashes are
+    pure functions of window content in both forms. Checked on the
+    driver fixture and on a larger stride-1 fixture with W=50 (the
+    production default, exercising the 32+16+2 ladder decomposition)."""
+    from cocrawler_spark.operators.dedup import _window_positions
+
+    def positions(df, w, impl):
+        _, dup = _window_positions(df, "text", "doc_id", w, hash_impl=impl)
+        return sorted(map(tuple, dup.collect()))
+
+    df = _df(spark)
+    assert positions(df, W, "rolling") == positions(df, W, "slice")
+
+    # W=50 fixture: 3 docs sharing a 60-token run at different offsets,
+    # plus unique prefixes/suffixes and a short doc
+    shared = " ".join(f"tok{i % 7}x{i}" for i in range(60))
+    rows = [
+        (1, "aa bb " + shared + " cc"),
+        (2, shared),
+        (3, "zz " + shared + " " + " ".join(f"u{i}" for i in range(40))),
+        (4, "too short"),
+    ]
+    big = spark.createDataFrame(rows, "doc_id long, text string")
+    got = positions(big, 50, "rolling")
+    assert got == positions(big, 50, "slice")
+    assert got  # non-vacuous: the shared run produces dup windows
+
+
+def test_stride_samples_positions(spark):
+    """stride=s enumerates only starts with (p-1) % s == 0, in BOTH
+    hash impls identically; sampled dup positions are a subset of the
+    exact (stride-1) dup positions restricted to sampled starts
+    (sampling can only lower a window's observed frequency)."""
+    from cocrawler_spark.operators.dedup import _window_positions
+
+    def positions(impl, s):
+        _, dup = _window_positions(
+            _df(spark), "text", "doc_id", W, hash_impl=impl, stride=s
+        )
+        return sorted(map(tuple, dup.collect()))
+
+    exact = positions("slice", 1)
+    s2 = positions("slice", 2)
+    assert s2 == positions("rolling", 2)
+    assert all((p - 1) % 2 == 0 for _, p in s2)
+    assert set(s2) <= {(i, p) for i, p in exact if (p - 1) % 2 == 0}
+
+
 def test_partition_invariance(spark):
     a = sorted(
         map(tuple, exact_substring_stats(_df(spark), "text", "doc_id", W).collect())
