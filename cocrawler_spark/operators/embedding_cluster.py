@@ -176,6 +176,99 @@ def kmeans_fit_df(
     return cents
 
 
+def kmeans_assign_two_level(
+    emb: DataFrame,
+    cents_df: DataFrame,
+    k_coarse: int = 16,
+    nprobe: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """TWO-LEVEL large-k assignment (VERDICT r4 #4): kill the n·k
+    exact scan of kmeans_assign_join at SemDeDup's k ≈ 10⁶ design
+    point by coarse-quantizing the CENTROID TABLE itself with the same
+    deterministic Lloyd (k_coarse cells, fit over k rows — a dim-table
+    fit, not data), then assigning each vector only against the
+    centroids living in its ``nprobe`` nearest coarse cells:
+    n · (k_coarse + nprobe·k/k_coarse) distance evaluations instead of
+    n·k — minimized at k_coarse ≈ √(nprobe·k) (e.g. k=10⁶, nprobe=8,
+    k_coarse≈3000 → ~6000 evals/vector, a 170x cut).
+
+    Exactness: with nprobe = k_coarse every cell is probed, the
+    candidate set is all k centroids, and the output is IDENTICAL to
+    kmeans_assign_join (same ROUND(·,6) distances, same (d, cluster)
+    min-struct tie rule — pinned by test). With nprobe < k_coarse the
+    assignment errs for a vector x only if x's true nearest centroid
+    c* sits in a cell whose coarse centroid ranks beyond nprobe for x
+    — by the triangle inequality that needs ‖x − coarse(c*)‖ >
+    ‖x − coarse(c_probed)‖ while ‖x − c*‖ is minimal, i.e. c* lies
+    far from its own cell's center relative to the cell gap, which
+    Lloyd's objective directly minimizes. The error is one-sided: the
+    chosen cluster's distance is ≥ the true minimum, never spurious
+    (every candidate distance is exact). Empirical agreement on the
+    synthetic fixture is pinned in tests/test_embedding_cluster.py.
+
+    Plan shape (10^10 rows): the coarse codebook collapses to a ONE-ROW
+    broadcast array (k_coarse·dim doubles), so cell ranking is in-row
+    (zero shuffle, same trick as the IVF probe tables); the probe
+    explode (n·nprobe rows) equi-joins the broadcast (cell → centroid)
+    dim table and the per-id min-struct groupBy carries n·nprobe slim
+    rows — the only exchange, map-side combining to n.
+    """
+    if nprobe is None:
+        nprobe = max(1, int(k_coarse) // 4)
+    csrc = cents_df.select(
+        F.col("cluster").alias("vec_id"),
+        F.col("centroid").cast("array<double>").alias("embedding"),
+    )
+    coarse = kmeans_fit_df(csrc, k=int(k_coarse), iters=2)
+    # centroid -> coarse cell (exact small scan: k x k_coarse)
+    cmap = kmeans_assign_join(csrc, coarse).selectExpr(
+        "id AS cluster", "cluster AS ccell"
+    )
+    fine = F.broadcast(
+        cents_df.select(
+            "cluster", F.col("centroid").cast("array<double>").alias("_cv")
+        ).join(cmap, "cluster")
+    )
+    # one-row broadcast array of coarse cells for in-row ranking
+    carr = coarse.agg(
+        F.collect_list(
+            F.struct(F.col("cluster").alias("cc"), F.col("centroid").alias("cv"))
+        ).alias("_carr")
+    )
+    probed = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(carr))
+        .select(
+            "id", "_v",
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_carr"),
+                            lambda s: F.struct(
+                                F.round(_sqdist_cols(F.col("_v"), s["cv"]), 6)
+                                .alias("d"),
+                                s["cc"].cast("long").alias("c"),
+                            ),
+                        )
+                    ),
+                    1, int(nprobe),
+                )["c"]
+            ).alias("ccell"),
+        )
+    )
+    d = F.round(_sqdist_cols(F.col("_v"), F.col("_cv")), 6)
+    scored = probed.join(fine, "ccell").select(
+        "id",
+        F.struct(d.alias("d"), F.col("cluster").cast("long").alias("c")).alias("s"),
+    )
+    return scored.groupBy("id").agg(
+        F.min("s")["c"].cast("long").alias("cluster")
+    )
+
+
 # k·dim plan-literal budget: above this the literal assignment path is
 # a scale-killer (the plan string itself grows with k·dim and the fit
 # collects k·dim means per round) — dispatch to the broadcast-join path.
