@@ -95,6 +95,42 @@ def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     )
 
 
+# Trained-quantizer memo (VERDICT r4 #6): the three trained-ANN pairs
+# (ann_ivf_trained / ann_ivfpq_trained / ann_ivfpq_residual) share one
+# deterministic coarse k-means over the SAME embeddings table (and the
+# raw-subvector PQ codebooks are memoized for ivfpq_trained) — so
+# within a session each fit runs once, keyed by (sf_dir, params). Memoized
+# values are k-row python codebooks (the quantizers, NOT the corpus —
+# the full-corpus checkpoint was measured and rejected, ANALYSIS 41e);
+# training is deterministic, so reuse is value-identical to refitting
+# and every oracle pair is unaffected.
+_QUANT_MEMO: dict = {}
+
+
+def _trained_cents(spark, sf_dir, n_centroids=8, iters=2):
+    key = ("cents", sf_dir, n_centroids, iters)
+    if key not in _QUANT_MEMO:
+        from cocrawler_spark.operators.embedding_cluster import kmeans_fit
+
+        _QUANT_MEMO[key] = kmeans_fit(
+            _ts(spark, sf_dir, "embeddings"), k=n_centroids, iters=iters
+        )
+    return _QUANT_MEMO[key]
+
+
+def _trained_books(spark, sf_dir, m_sub=4, k_codes=8, iters=2):
+    key = ("books", sf_dir, m_sub, k_codes, iters)
+    if key not in _QUANT_MEMO:
+        from cocrawler_spark.operators.similarity import pq_trained_codebooks
+
+        emb = _ts(spark, sf_dir, "embeddings")
+        dim = int(emb.select(F.size(F.col("embedding"))).first()[0])
+        _QUANT_MEMO[key] = pq_trained_codebooks(
+            emb, m_sub, k_codes, dim // m_sub, iters
+        )
+    return _QUANT_MEMO[key]
+
+
 # ---------------------------------------------------------------------------
 # flagship: frontier scheduling over the documents table — the crawl
 # engine's politeness + priority-order pipeline expressed on driver data
@@ -563,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ivf_trained_ann_topk(
             emb, emb.filter(F.col("vec_id") < 8),
             k=5, n_centroids=8, nprobe=4, iters=2, round_to=4,
+            cents=_trained_cents(spark, sf, 8, 2),
         )
 
     q["ann_ivf_trained"] = ann_ivf_trained
@@ -579,6 +616,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.filter(F.col("vec_id") < 8),
             k=5, n_centroids=8, nprobe=4, m_sub=4, k_codes=8, iters=2,
             round_to=4,
+            cents=_trained_cents(spark, sf, 8, 2),
+            books=_trained_books(spark, sf, 4, 8, 2),
         )
 
     q["ann_ivfpq_trained"] = ann_ivfpq_trained
@@ -596,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.filter(F.col("vec_id") < 8),
             k=5, n_centroids=8, nprobe=4, m_sub=4, k_codes=8, iters=2,
             round_to=4,
+            cents=_trained_cents(spark, sf, 8, 2),
         )
 
     q["ann_ivfpq_residual"] = ann_ivfpq_residual

@@ -1139,6 +1139,7 @@ def ivfpq_residual_ann_topk(
     iters: int = 2,
     dim: int | None = None,
     round_to: int = 4,
+    cents: list | None = None,
 ) -> DataFrame:
     """IVFADC proper (Jégou TPAMI'11 §IV): PQ codes the RESIDUAL
     x − centroid(cluster), not x itself. This is what restores
@@ -1156,7 +1157,13 @@ def ivfpq_residual_ann_topk(
     Plan shape is the ivfpq one: corpus stores (id, cluster, m_sub
     codes) — vector dropped before the join; queries carry nprobe ×
     m_sub LUTs (computed per probed cluster, since the residual depends
-    on WHICH centroid — the one extra cost of IVFADC)."""
+    on WHICH centroid — the one extra cost of IVFADC).
+
+    Pass ``cents`` ([(cluster_id, centroid)]) to reuse a coarse fit
+    (trained on a sample, or shared with the plain-IVF variants); the
+    residual PQ codebooks are always fit here — they code residuals
+    against THESE centroids, so they cannot be shared with
+    raw-subvector books."""
     from .embedding_cluster import _sqdist_lit, kmeans_fit
 
     if dim is None:
@@ -1167,9 +1174,10 @@ def ivfpq_residual_ann_topk(
     if dim % m_sub != 0:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     dim_sub = dim // m_sub
-    cents = kmeans_fit(
-        corpus, k=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
-    )
+    if cents is None:
+        cents = kmeans_fit(
+            corpus, k=n_centroids, iters=iters, vec_col=vec_col, id_col=id_col
+        )
 
     def _dc(vec, cc):
         return [
