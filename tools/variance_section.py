@@ -64,7 +64,10 @@ def main() -> None:
     lines = [MARKER + f" ({len(runs)} complete single-tenant runs)", ""]
     lines += [
         "The per-wave tables above are the LATEST complete run. Every",
-        "complete 4-leg run this round, same command, same input, same",
+        "complete run this round — 4-leg, or the 4v16 GATE-PAIRING legs",
+        "alone (runs whose 8/32 columns read '—': same command file,",
+        "same input, same per-leg pinning, just only the two legs the",
+        "north rule's criterion is computed from) — same input, same",
         "pinning (older raw data preserved as BENCH/scaling_raw_run*.json):",
         "",
         "| run | 4v16 steady eff | 8v32 steady eff | steady URLs/s @4/8/16/32 |",
@@ -78,7 +81,10 @@ def main() -> None:
         )
         e416 = eff(legs, 4, 16)
         e832 = eff(legs, 8, 32)
-        lines.append(f"| {name} | {e416} | {e832} | {per_leg} |")
+        lines.append(
+            f"| {name} | {'—' if e416 is None else e416} "
+            f"| {'—' if e832 is None else e832} | {per_leg} |"
+        )
     # mechanical outlier flags: any WAVE whose wall seconds deviate
     # >50% from the median of the OTHER runs' same (leg, wave) gets
     # named, so a single co-tenant-clipped wave can never masquerade as
@@ -135,8 +141,11 @@ def main() -> None:
     ]
     for name, data in runs:
         legs = data["legs"]
+        p416 = plateau_eff(legs, 4, 16)
+        p832 = plateau_eff(legs, 8, 32)
         lines.append(
-            f"| {name} | {plateau_eff(legs, 4, 16)} | {plateau_eff(legs, 8, 32)} |"
+            f"| {name} | {'—' if p416 is None else p416} "
+            f"| {'—' if p832 is None else p832} |"
         )
     # Gate status: the north rule's >= 0.8 criterion, judged ONLY on
     # runs whose 4- and 16-core legs carry no mechanically-flagged
