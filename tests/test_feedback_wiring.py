@@ -125,3 +125,40 @@ def test_opic_cash_boosts_rich_host_priority(spark, tmp_path):
     prio_on = {r["url"]: r["priority"] for r in on.frontier.collect()}
     for url, p in prio_on.items():
         assert p == (0 if "h1.test" in url else 1), url
+
+
+def test_feedback_flags_resume_equals_uninterrupted(spark, tmp_path):
+    """Both feedback flags ON: a crawl interrupted after wave 2 and
+    resumed by a fresh engine must reproduce the uninterrupted crawl
+    exactly — including the adaptive_delay and host_cash state tables
+    resume() reloads (the wiring's checkpoint/lineage claim)."""
+    cfg = _ADAPT_CFG.with_(
+        adaptive_delay=True, opic_priority=True,
+        opic_cash=1024, opic_boost_thresholds=(500, 10_000),
+    )
+    a = build_engine(spark, _adaptive_web(), cfg, tmp_path / "a",
+                     latency_col_fn=_slow_h1)
+    a.run()
+    b1 = build_engine(spark, _adaptive_web(), cfg, tmp_path / "b",
+                      latency_col_fn=_slow_h1)
+    b1.seed_frontier()
+    b1.run_wave(1)
+    b1.run_wave(2)
+    b2 = build_engine(spark, _adaptive_web(), cfg, tmp_path / "b",
+                      latency_col_fn=_slow_h1)
+    b2.resume()
+
+    def snap(eng, name, cols):
+        df = eng.output(name)
+        assert df is not None, name
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    for name, cols in [
+        ("crawl_order", ["wave", "seq", "surt", "url"]),
+        ("adaptive_delay", ["fetched_wave", "host", "next_delay"]),
+        ("host_cash", ["host", "cash"]),
+    ]:
+        assert snap(a, name, cols) == snap(b2, name, cols), name
+    fa = sorted(map(tuple, a.frontier.select("url", "priority").collect()))
+    fb = sorted(map(tuple, b2.frontier.select("url", "priority").collect()))
+    assert fa == fb
