@@ -73,8 +73,10 @@ class CrawlConfig:
     # per-host fetch latency/error rate (operators/politeness.py
     # adaptive_crawl_delay — AIMD: slow hosts get >= 2x their response
     # time between hits, 5xx/429 bursts multiply it) back into the NEXT
-    # wave's politeness slotting: effective delay = adaptive output
-    # where a host has been observed, else robots/config delay. State
+    # wave's politeness slotting: effective delay = max(adaptive
+    # output, robots/config delay) where a host has been observed —
+    # feedback only ever backs off harder, never undercuts a
+    # published Crawl-delay — else robots/config delay. State
     # is a per-wave 'adaptive_delay' delta table (latest observation
     # wins), reloaded like robots on commit and on resume(). Default
     # OFF: the simulator models static robots/config delays only, and

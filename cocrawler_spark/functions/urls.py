@@ -581,9 +581,13 @@ def dust_param_rules(
     )
     # canonical per-URL value signature: sorted multiset of k's values
     # on that URL, so within-URL repetition can never read as
-    # cross-URL variation (each URL contributes exactly one state)
+    # cross-URL variation (each URL contributes exactly one state).
+    # The signature is the sorted ARRAY itself — a joined string would
+    # collide a value containing the separator byte with a genuine
+    # multi-value list; arrays are groupable/distinct-countable in
+    # both engines.
     per_url = pk.groupBy("digest", "base", "param", "url").agg(
-        F.array_join(F.sort_array(F.collect_list("val")), "\x1e").alias("_vsig")
+        F.sort_array(F.collect_list("val")).alias("_vsig")
     )
     per_group = per_url.groupBy("digest", "base", "param").agg(
         F.countDistinct("_vsig").alias("n_sigs"),
@@ -627,7 +631,7 @@ g AS (SELECT digest, base, COUNT(DISTINCT url) AS n_urls
 pk AS (SELECT digest, base, url, p.k AS param, p.v AS val
        FROM (SELECT digest, base, url, unnest({q}) AS p FROM u)),
 pu AS (SELECT digest, base, param, url,
-              array_to_string(list_sort(list(val)), chr(30)) AS vsig
+              list_sort(list(val)) AS vsig
        FROM pk GROUP BY digest, base, param, url),
 pg AS (SELECT digest, base, param,
               COUNT(DISTINCT vsig) AS n_sigs, COUNT(*) AS n_with

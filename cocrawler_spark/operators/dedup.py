@@ -741,11 +741,15 @@ def _window_positions(df: DataFrame, text_col: str, id_col: str,
       codegens HOFs) would flip on.
 
     stride > 1 (profiling use-case): enumerate only window starts with
-    (p - 1) % stride == 0 — an s-fold cheaper ESTIMATOR of the
-    duplication profile (both occurrence counting and coverage see
-    only sampled starts, so dup_ratio becomes a sampled estimate and
-    scrub removes only sampled-window spans). Exact semantics = the
-    stride-1 default; the graded oracle pairs run stride 1.
+    (p - 1) % stride == 0 — an ESTIMATOR of the duplication profile
+    (both occurrence counting and coverage see only sampled starts, so
+    dup_ratio becomes a sampled estimate and scrub removes only
+    sampled-window spans; n_windows counts the sampled starts, keeping
+    one denominator). The s-fold COMPUTE saving applies to the slice
+    branch (stride is embedded in the position sequence); the rolling
+    branch still materializes every ladder hash and saves only the
+    exploded/shuffled rows. Exact semantics = the stride-1 default;
+    the graded oracle pairs run stride 1.
     """
     w = int(window_tokens)
     s = int(stride)
@@ -754,7 +758,13 @@ def _window_positions(df: DataFrame, text_col: str, id_col: str,
         tokens_col(F.col(text_col)).alias("t"),
     ).select(
         "id", "t", F.size("t").alias("n_tokens"),
-        F.greatest(F.size("t") - w + 1, F.lit(0)).alias("n_windows"),
+        # n_windows counts the windows THIS stride enumerates, so the
+        # n_dup_windows / n_windows rate keeps one denominator at any
+        # stride (at s=1 this is the plain n_tokens - w + 1)
+        F.when(
+            F.size("t") >= w,
+            (F.floor((F.size("t") - w) / F.lit(s)) + 1).cast("int"),
+        ).otherwise(F.lit(0)).alias("n_windows"),
     )
     if hash_impl == "slice":
         # Spark's sequence(a, b) DESCENDS when a > b, so short docs are

@@ -231,6 +231,18 @@ def kmeans_assign_two_level(
             "cluster", F.col("centroid").cast("array<double>").alias("_cv")
         ).join(cmap, "cluster")
     )
+    # rank only OCCUPIED coarse cells: the final assignment round can
+    # leave a coarse cell with zero fine centroids, and a vector whose
+    # every probed cell were empty would produce no candidate rows and
+    # silently vanish from the output — restricting the ranked cells
+    # to cmap's image guarantees every probe yields >= 1 candidate, so
+    # the one-sided-error contract (a farther REAL centroid, never a
+    # dropped vector) holds structurally
+    coarse = coarse.join(
+        cmap.select(F.col("ccell").alias("cluster")).distinct(),
+        "cluster",
+        "left_semi",
+    )
     # one-row broadcast array of coarse cells for in-row ranking
     carr = coarse.agg(
         F.collect_list(

@@ -553,10 +553,13 @@ class CrawlEngine:
             # persisted because the inflow agg adds a second consumer
             # of the canonicalize chain.
             deduped = self._persist(deduped)
-            inflow = deduped.groupBy("host").agg(F.sum("_cash").alias("cash"))
-            self._stage_async(
-                "host_cash", self._sized(inflow, self.frontier_count), wave,
-                mode="delta",
+            # zero-cash rows (e.g. every seed host at wave 0) add
+            # nothing to the sums and the boost join below is a LEFT
+            # join — drop them before they inflate the state table
+            inflow = (
+                deduped.groupBy("host")
+                .agg(F.sum("_cash").alias("cash"))
+                .filter(F.col("cash") > 0)
             )
             prev = self.host_cash
             cash_now = (
@@ -564,6 +567,15 @@ class CrawlEngine:
                 if prev is not None
                 else inflow
             )
+            # delta per wave, periodic full compaction (the summed
+            # view) — same discipline as host_counts (VERDICT r1 #7)
+            if self._compact_wave(wave) and prev is not None:
+                self._stage_async("host_cash", cash_now, wave, mode="full")
+            else:
+                self._stage_async(
+                    "host_cash", self._sized(inflow, self.frontier_count),
+                    wave, mode="delta",
+                )
             boost = F.lit(0)
             for i, th in enumerate(sorted(cfg.opic_boost_thresholds)):
                 boost = F.when(F.col("cash") >= int(th), F.lit(i + 1)).otherwise(
@@ -973,9 +985,14 @@ class CrawlEngine:
         )
         if cfg.adaptive_delay and self.adaptive_delays is not None:
             # measured-latency feedback (cfg.adaptive_delay): hosts
-            # observed in earlier waves take their AIMD delay; unseen
-            # hosts keep robots/config. Same host-keyed left join shape
-            # as robots — one slim table, AQE broadcasts it.
+            # observed in earlier waves take the MAX of their AIMD
+            # delay and the robots/config delay — adaptive feedback
+            # only ever backs off HARDER; a host publishing
+            # Crawl-delay: 10 keeps its 10 s floor no matter how
+            # healthy it looks (the AIMD base is the config default,
+            # not the per-host robots value). Unseen hosts keep
+            # robots/config. Same host-keyed left join shape as
+            # robots — one slim table, AQE broadcasts it.
             fj = (
                 fj.join(
                     self.adaptive_delays.select("host", "next_delay"),
@@ -984,7 +1001,10 @@ class CrawlEngine:
                 )
                 .withColumn(
                     "crawl_delay",
-                    F.coalesce(F.col("next_delay"), F.col("crawl_delay")),
+                    F.greatest(
+                        F.col("crawl_delay"),
+                        F.coalesce(F.col("next_delay"), F.col("crawl_delay")),
+                    ),
                 )
                 .drop("next_delay")
             )
@@ -1278,9 +1298,21 @@ class CrawlEngine:
             ).select(
                 "host", F.lit(wave).alias("fetched_wave"), "next_delay"
             )
-            self._stage_async(
-                "adaptive_delay", self._sized(obs, pages), wave, mode="delta"
-            )
+            # delta per wave, periodic full compaction (the latest-wins
+            # view) — same O(total hosts)-write-avoidance discipline as
+            # robots/host_counts (VERDICT r1 #7)
+            if self._compact_wave(wave) and self.adaptive_delays is not None:
+                full = obs.unionByName(
+                    self.adaptive_delays.join(
+                        obs.select("host"), "host", "left_anti"
+                    ).select("host", "fetched_wave", "next_delay")
+                )
+                self._stage_async("adaptive_delay", full, wave, mode="full")
+            else:
+                self._stage_async(
+                    "adaptive_delay", self._sized(obs, pages), wave,
+                    mode="delta",
+                )
 
         # host fetch accounting (per-host budget state): delta per wave
         # (hosts actually fetched), periodic full compaction

@@ -248,3 +248,7 @@ def test_two_level_assign_agreement_bound_at_nprobe_below(spark):
     assert set(two) == set(exact)  # every vector still assigned
     agree = sum(two[i] == exact[i] for i in exact) / len(exact)
     assert agree >= 0.85, agree
+    # no-drop contract at the stingiest probe budget: ranking is over
+    # OCCUPIED cells only, so even nprobe=1 assigns every vector
+    one = kmeans_assign_two_level(e, cents, k_coarse=8, nprobe=1)
+    assert one.count() == len(exact)

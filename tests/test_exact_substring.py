@@ -229,6 +229,11 @@ def test_dust_repeated_key_not_evidence(spark):
         # one group, two URLs, differing multisets -> evidence
         ("http://b/s?f=1&f=2", 800),
         ("http://b/s?f=1", 800),
+        # separator hardening: a value CONTAINING chr(30) must not
+        # collide with the two-value list ["x","y"] (the signature is
+        # the sorted array, not a joined string)
+        ("http://b/t?g=x\x1ey", 900),
+        ("http://b/t?g=x&g=y", 900),
     ]
     df = spark.createDataFrame(rows, "url string, digest long")
     got = {
@@ -240,6 +245,7 @@ def test_dust_repeated_key_not_evidence(spark):
     assert got["f"] == (1, False)  # real evidence, below support
     # x: present on one of two group members -> absence evidence
     assert got["x"] == (1, False)
+    assert got["g"] == (1, False)  # chr(30)-in-value is NOT ["x","y"]
 
 
 def test_dust_min_support(spark):

@@ -92,6 +92,26 @@ def test_adaptive_delay_widens_slow_host_slots(spark, tmp_path):
     assert _h1_fetched_at(on, 3) == 1
 
 
+def test_adaptive_delay_never_undercuts_robots(spark, tmp_path):
+    """A published robots Crawl-delay is a FLOOR: a healthy fast host
+    (adaptive next_delay = 1 s base) keeps its 2 s robots delay —
+    feedback only ever backs off harder."""
+    web = _adaptive_web()
+    web.robots["h1.test"] = {
+        "crawl_delay": 2.0, "ttl_waves": 5, "disallow": [], "allow": [],
+    }
+    eng = build_engine(
+        spark, web, _ADAPT_CFG.with_(adaptive_delay=True), tmp_path,
+        latency_col_fn=lambda u: F.lit(100),
+    )
+    eng.run()
+    # (rn-1)*2 >= 3 defers rank 3+: 2 fetched per wave, both before
+    # AND after h1 is observed healthy (undercutting to the 1 s base
+    # would fetch 3 in wave 3)
+    assert _h1_fetched_at(eng, 2) == 2
+    assert _h1_fetched_at(eng, 3) == 2
+
+
 def _opic_web():
     """Seed page: 8 links to h1 (rich) + 1 to h2 (poor)."""
     web = SynthWeb(seed=1, n_hosts=3)
@@ -136,16 +156,18 @@ def test_feedback_flags_resume_equals_uninterrupted(spark, tmp_path):
         adaptive_delay=True, opic_priority=True,
         opic_cash=1024, opic_boost_thresholds=(500, 10_000),
     )
+    # state_compact_every=2: wave 2 full-compacts BOTH new state
+    # tables, so the resume below reloads from a compacted write
     a = build_engine(spark, _adaptive_web(), cfg, tmp_path / "a",
-                     latency_col_fn=_slow_h1)
+                     latency_col_fn=_slow_h1, state_compact_every=2)
     a.run()
     b1 = build_engine(spark, _adaptive_web(), cfg, tmp_path / "b",
-                      latency_col_fn=_slow_h1)
+                      latency_col_fn=_slow_h1, state_compact_every=2)
     b1.seed_frontier()
     b1.run_wave(1)
     b1.run_wave(2)
     b2 = build_engine(spark, _adaptive_web(), cfg, tmp_path / "b",
-                      latency_col_fn=_slow_h1)
+                      latency_col_fn=_slow_h1, state_compact_every=2)
     b2.resume()
 
     def snap(eng, name, cols):
