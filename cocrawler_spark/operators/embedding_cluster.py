@@ -322,15 +322,35 @@ def kmeans_fit(
     centroid element rounded to 6 dp) — the caller's final
     ``kmeans_assign`` is assignment round ``iters``, matching the SQL
     twin's a{iters-1} CTE. Returns [(cluster_id, centroid)] — clusters
-    that lose all members drop out, exactly as in the SQL twin."""
+    that lose all members drop out, exactly as in the SQL twin.
+
+    Each update round is ONE map + groupBy job: the assignment argmin
+    is a pure projection of ``emb``, so the label is computed in the
+    same select as the posexplode instead of being joined back to the
+    vectors on id (the join shuffled the whole vector table per round
+    for values the row already held; same arithmetic, same results)."""
     init = emb.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
     cents = [(j, [float(x) for x in r[vec_col]]) for j, r in enumerate(init)]
     for _ in range(iters - 1):
-        assigned = kmeans_assign(emb, cents, vec_col, id_col)
-        ex = assigned.join(
-            emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
-            "id",
-        ).select("cluster", F.posexplode(F.col("_v").cast("array<double>")))
+        structs = [
+            F.struct(
+                F.round(_sqdist_lit(F.col(vec_col), cv), 6).alias("d"),
+                F.lit(int(c)).alias("c"),
+            )
+            for c, cv in cents
+        ]
+        # two selects: a generator (posexplode) sharing one select with
+        # a struct built from unresolved lambda functions makes the
+        # analyzer drop the struct's field aliases (col1/col2), so the
+        # argmin struct is resolved in its own projection first
+        best = F.array_min(F.array(*structs))
+        ex = emb.select(
+            best.alias("_b"),
+            F.col(vec_col).cast("array<double>").alias("_vv"),
+        ).select(
+            F.col("_b")["c"].cast("long").alias("cluster"),
+            F.posexplode(F.col("_vv")),
+        )
         rows = (
             ex.groupBy("cluster", "pos")
             .agg(F.round(F.avg("col"), 6).alias("m"))
@@ -343,6 +363,52 @@ def kmeans_fit(
             (c, [d[i] for i in sorted(d)]) for c, d in sorted(by_c.items())
         ]
     return cents
+
+
+def _label_with_vec(
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, cluster, _v): kmeans_label's dispatch, but with the vector
+    carried through the assignment. On the literal path the assignment
+    is a pure projection of ``emb``, so the vector rides in the same
+    select — the (labels ⋈ vectors) id-join the previous shape paid
+    (a full shuffle of the vector table) never happens. The join path
+    (large k) still joins back, as its argmin is a groupBy. Labels are
+    identical to kmeans_label's (same fit, rounding, tie rules)."""
+    if dim is None:
+        first = emb.select(F.size(F.col(vec_col))).first()
+        dim = int(first[0]) if first is not None else 0
+    if k * max(dim, 1) <= KMEANS_LITERAL_CELL_CEILING:
+        cents = kmeans_fit(emb, k, iters, vec_col, id_col)
+        structs = [
+            F.struct(
+                F.round(_sqdist_lit(F.col(vec_col), cv), 6).alias("d"),
+                F.lit(int(c)).alias("c"),
+            )
+            for c, cv in cents
+        ]
+        best = F.array_min(F.array(*structs))
+        return emb.select(
+            F.col(id_col).alias("id"),
+            best["c"].cast("long").alias("cluster"),
+            F.col(vec_col).alias("_v"),
+        )
+    cents_df = kmeans_fit_df(emb, k, iters, vec_col, id_col)
+    return kmeans_assign_join(emb, cents_df, vec_col, id_col).join(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
+        "id",
+    )
+
+
+# pair-stage build side above this estimated serialized size falls back
+# from the broadcast plan to the salted shuffle plan (bytes; generous on
+# a 16g-driver sandbox, conservative vs the 8 GB broadcast hard cap)
+SEMDEDUP_BROADCAST_CEILING = 256 * 1024 * 1024
 
 
 def semdedup(
@@ -360,12 +426,32 @@ def semdedup(
     (min-id survivor, matching every other dedup stage in the repo).
     ``max_cluster`` (optional) exempts oversized clusters from the
     pair stage — they pass through undeduped but loggable, never
-    quadratic."""
-    assigned = kmeans_label(emb, k, iters, vec_col, id_col)
-    withv = assigned.join(
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
-        "id",
-    )
+    quadratic.
+
+    Pair-stage physical plan: the join key ``cluster`` has only k
+    distinct values, so a plain shuffle self-join caps the pairwise
+    cosine work at k tasks — at k « cores most of the machine idles
+    while per-cluster pair counts grow quadratically with data. Two
+    skew-proof shapes, picked by the build side's estimated size:
+    - broadcast (build side ≤ SEMDEDUP_BROADCAST_CEILING): the b-side
+      (id, cluster, vec, norm) is broadcast and the a-side streams —
+      zero exchange, pair work spread evenly over the a-side's
+      partitions regardless of cluster sizes;
+    - salted shuffle (anything bigger): b-side rows get a deterministic
+      block id pmod(xxhash64(id), S), the a-side replicates S ways, and
+      the join keys on (cluster, block) — k·S keys instead of k, so the
+      pair work spreads over the full task grid (guide §2.5 salting; S
+      derives from defaultParallelism, never a hard-coded core count).
+    Per-pair cost is also halved: vector norms are computed once per
+    ROW before the join and the pair stage evaluates only the dot
+    product — the same IEEE operations cosine_col performs, factored,
+    so cosines (and the ROUND(·, 6) gate) are bit-identical. SemDeDup's
+    own k ≈ n/10⁴ regime needs neither shape (cluster count » cores);
+    both exist for the k « cores corner this bench exercises."""
+    first = emb.select(F.size(F.col(vec_col))).first()
+    dim = int(first[0]) if first is not None else 0
+    labeled = _label_with_vec(emb, k, iters, vec_col, id_col, dim=dim)
+    withv = labeled
     if max_cluster is not None:
         from pyspark.sql import Window
 
@@ -373,26 +459,53 @@ def semdedup(
         withv = withv.withColumn("_cn", F.count("*").over(wc)).filter(
             F.col("_cn") <= int(max_cluster)
         )
+    # hoist the norms: cosine_col(a, b) = dot(a,b) / (norm(a) * norm(b))
+    # — the two norm folds depend on one row each, so compute them once
+    # per row here instead of once per PAIR in the join
+    from .similarity import _dot, _norm
+
+    withv = withv.withColumn(
+        "_nrm", _norm(F.col("_v").cast("array<double>"))
+    )
     a = withv.select(
-        "cluster", F.col("id").alias("id_a"), F.col("_v").alias("va")
+        "cluster", F.col("id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_nrm").alias("na"),
     )
     b = withv.select(
-        "cluster", F.col("id").alias("id_b"), F.col("_v").alias("vb")
+        "cluster", F.col("id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_nrm").alias("nb"),
     )
-    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    sc = emb.sparkSession.sparkContext
+    # size the build side from a pruned count (ids only — the count job
+    # must not drag the vector column through any upstream exchange)
+    n_rows = emb.select(F.col(id_col)).count()
+    est_bytes = n_rows * (dim * 8 + 32)
+    if est_bytes <= SEMDEDUP_BROADCAST_CEILING:
+        pairs = a.join(F.broadcast(b), "cluster")
+    else:
+        salt = max(1, -(-4 * sc.defaultParallelism // max(k, 1)))
+        b_blk = b.withColumn(
+            "_blk", F.pmod(F.xxhash64(F.col("id_b")), F.lit(salt))
+        )
+        a_exp = a.withColumn(
+            "_blk", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        )
+        pairs = a_exp.join(b_blk, ["cluster", "_blk"]).drop("_blk")
+    pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
     losers = (
         pairs.withColumn(
             "cos",
-            cosine_col(
+            _dot(
                 F.col("va").cast("array<double>"),
                 F.col("vb").cast("array<double>"),
-            ),
+            )
+            / (F.col("na") * F.col("nb")),
         )
         .filter(F.round(F.col("cos"), 6) >= float(threshold))
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
-    return assigned.join(losers, "id", "left_anti")
+    return labeled.select("id", "cluster").join(losers, "id", "left_anti")
 
 
 # ---------------------------------------------------------------------------
