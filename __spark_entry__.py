@@ -1928,7 +1928,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # GREATEST over per-rule match lengths.
         from cocrawler_spark.functions.robots import robots_allowed_udf
 
-        o = _t(spark, sf, "orders").select("o_orderkey")
+        # spread read (same policy as _ts): single-split input would run
+        # the whole Arrow-UDF matching leg on one core
+        o = _t(spark, sf, "orders").select("o_orderkey").repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
         k = F.col("o_orderkey")
         path = F.concat(
             F.lit("/d"), (k % 5).cast("string"),
@@ -2157,7 +2161,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mixed, and param-order-aliased shapes."""
         from cocrawler_spark.functions.urls import strip_tracking_params_cols
 
-        o = _t(spark, sf, "orders")
+        # spread read (same policy as _ts): orders is a single-split
+        # parquet file, and the split→filter→rejoin chain below is the
+        # per-row cost — project to the two key columns first so the
+        # round-robin exchange carries 16 bytes/row, not the whole row
+        o = _t(spark, sf, "orders").select("o_custkey", "o_orderkey").repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
         url = F.concat(
             F.lit("http://h"), (F.col("o_custkey") % 40).cast("string"),
             F.lit(".test/p/"), F.col("o_orderkey").cast("string"),

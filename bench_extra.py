@@ -35,6 +35,7 @@ def main():
     qs = entry_mod.queries()
 
     if mode == "explain":
+        spark.conf.set("spark.sql.maxPlanStringLength", str(512 * 1024))
         outdir = sys.argv[2]
         names = sys.argv[3:] or HEADLINE
         os.makedirs(outdir, exist_ok=True)
