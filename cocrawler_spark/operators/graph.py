@@ -81,6 +81,7 @@ def pagerank(
     dst: str = "dst",
     dangling: str = "redistribute",
     checkpoint_every: Optional[int] = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """K power-iteration rounds of PageRank over a directed edge list.
 
@@ -99,11 +100,11 @@ def pagerank(
     """
     if dangling not in ("redistribute", "drop"):
         raise ValueError(f"dangling must be redistribute|drop, got {dangling!r}")
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
+    if not assume_distinct:
+        e = e.distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -286,6 +287,7 @@ def hyperball_harmonic(
     m: int = 16,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """HyperBall (Boldi & Vigna, 2013): estimate each node's
     neighbourhood function |B(v, r)| — the number of nodes reachable
@@ -329,11 +331,11 @@ def hyperball_harmonic(
     W = 60 - lg
     alpha = _hll_alpha(m)
 
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
+    if not assume_distinct:
+        e = e.distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -453,6 +455,7 @@ def opic(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """OPIC (Abiteboul, Preda & Cobéna, WWW'03 "Adaptive On-Line Page
     Importance Computation"), synchronous-batch formulation: every node
@@ -476,11 +479,11 @@ def opic(
     pagerank plan shape exactly; see its docstring for the 10^10-edge
     skew notes. Returns (node, cash, history, score) rounded to 6.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col("src").isNotNull() & F.col("dst").isNotNull()
     )
+    if not assume_distinct:
+        e = e.distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

@@ -253,7 +253,7 @@ def ivf_centroids(n_centroids: int, dim: int, seed: str = "ivf") -> list:
 def _dot_lit(vec, comps) -> F.Column:
     """dot(vec, literal centroid) — left-fold sum in index order (the
     same order as the SQL twin's list_sum(list_transform(...)))."""
-    arr = F.array(*[F.lit(float(x)) for x in comps])
+    arr = F.lit([float(x) for x in comps])  # one array Literal, not len(comps) nodes
     return _dot(vec.cast("array<double>"), arr)
 
 
@@ -671,7 +671,7 @@ def random_projection(
             F.aggregate(
                 F.zip_with(
                     F.col(vec_col),
-                    F.array(*[F.lit(float(s)) for s in row]),
+                    F.lit([float(s) for s in row]),
                     lambda x, y: x.cast("double") * y,
                 ),
                 F.lit(0.0),
@@ -918,23 +918,14 @@ def pq_trained_codebooks(
     subspace over the corpus subvectors (Jégou TPAMI'11 trains PQ
     codebooks exactly this way). m_sub small independent fits; at
     100 TB you fit on a sample, which is just the caller passing a
-    sampled ``corpus``."""
-    from .embedding_cluster import kmeans_fit
+    sampled ``corpus``. All m_sub fits run as one batched job pair per
+    round (pq_fit_codebooks_batch) — value-identical to m_sub
+    independent kmeans_fit calls, at 1/m_sub the driver jobs."""
+    from .embedding_cluster import pq_fit_codebooks_batch
 
-    books = []
-    for s in range(m_sub):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(
-                F.col(vec_col).cast("array<double>"),
-                s * dim_sub + 1,
-                dim_sub,
-            ).alias("_sv"),
-        )
-        books.append(
-            kmeans_fit(sub, k=k_codes, iters=iters, vec_col="_sv", id_col=id_col)
-        )
-    return books
+    return pq_fit_codebooks_batch(
+        corpus, m_sub, k_codes, dim_sub, iters, vec_col, id_col
+    )
 
 
 def ivfpq_trained_ann_topk(
@@ -1009,7 +1000,7 @@ def ivfpq_trained_ann_topk(
         F.explode(probes).alias("p"),
         *[
             F.map_from_arrays(
-                F.array(*[F.lit(int(code)) for code, _ in books[s]]),
+                F.lit([int(code) for code, _ in books[s]]),
                 F.array(
                     *[
                         _dot_lit(_sub(vec, s, dim_sub), comps)
@@ -1126,6 +1117,57 @@ SELECT query_id, neighbor_id, CAST("rank" AS INT) AS "rank", adc
 FROM ranked WHERE "rank" <= {k}"""
 
 
+def residual_pq_codebooks(
+    corpus: DataFrame,
+    cents: list,
+    m_sub: int,
+    k_codes: int,
+    dim_sub: int,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Fit the IVFADC residual PQ codebooks alone (the books
+    ivfpq_residual_ann_topk fits when ``books`` is None, same values):
+    residual frame x − centroid(assigned) against ``cents``, then the
+    batched per-subspace Lloyd fit. Exists so a session can memoize the
+    books (they are k-row quantizers keyed by corpus + cents + params,
+    not data) and pass them back via the ``books`` parameter."""
+    from .embedding_cluster import _sqdist_lit, pq_fit_codebooks_batch
+
+    def _dc(vec, cc):
+        return [
+            F.struct(
+                F.round(_sqdist_lit(vec, cv), 6).alias("d"),
+                F.lit(int(cid)).alias("c"),
+            )
+            for cid, cv in cc
+        ]
+
+    def _cent_arr(cluster_col):
+        expr = None
+        for cid, cv in cents:
+            arr = F.lit([float(x) for x in cv])
+            expr = (
+                F.when(cluster_col == int(cid), arr)
+                if expr is None
+                else expr.when(cluster_col == int(cid), arr)
+            )
+        return expr
+
+    vec = F.col(vec_col)
+    assigned = F.array_min(F.array(*_dc(vec, cents)))["c"].cast("long")
+    residual = F.zip_with(
+        vec.cast("array<double>"), _cent_arr(assigned), lambda x, y: x - y
+    )
+    rdf = corpus.select(
+        F.col(id_col).alias("id"), residual.alias("_rv")
+    ).localCheckpoint(eager=True)
+    return pq_fit_codebooks_batch(
+        rdf, m_sub, k_codes, dim_sub, iters, vec_col="_rv", id_col="id"
+    )
+
+
 def ivfpq_residual_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1140,6 +1182,7 @@ def ivfpq_residual_ann_topk(
     dim: int | None = None,
     round_to: int = 4,
     cents: list | None = None,
+    books: list | None = None,
 ) -> DataFrame:
     """IVFADC proper (Jégou TPAMI'11 §IV): PQ codes the RESIDUAL
     x − centroid(cluster), not x itself. This is what restores
@@ -1160,11 +1203,17 @@ def ivfpq_residual_ann_topk(
     on WHICH centroid — the one extra cost of IVFADC).
 
     Pass ``cents`` ([(cluster_id, centroid)]) to reuse a coarse fit
-    (trained on a sample, or shared with the plain-IVF variants); the
-    residual PQ codebooks are always fit here — they code residuals
-    against THESE centroids, so they cannot be shared with
-    raw-subvector books."""
-    from .embedding_cluster import _sqdist_lit, kmeans_fit
+    (trained on a sample, or shared with the plain-IVF variants); pass
+    ``books`` to reuse RESIDUAL codebooks from a previous call with the
+    SAME cents (they code residuals against those centroids, so they
+    cannot be shared with raw-subvector books — only with an identical
+    residual fit). When books is None they are fit here, all m_sub
+    subspaces batched into one job pair per round."""
+    from .embedding_cluster import (
+        _sqdist_lit,
+        kmeans_fit,
+        pq_fit_codebooks_batch,
+    )
 
     if dim is None:
         first = corpus.select(F.size(F.col(vec_col))).first()
@@ -1191,7 +1240,7 @@ def ivfpq_residual_ann_topk(
     def _cent_arr(cluster_col):
         expr = None
         for cid, cv in cents:
-            arr = F.array(*[F.lit(float(x)) for x in cv])
+            arr = F.lit([float(x) for x in cv])
             expr = (
                 F.when(cluster_col == int(cid), arr)
                 if expr is None
@@ -1209,21 +1258,18 @@ def ivfpq_residual_ann_topk(
         assigned.alias("cluster"),
         residual.alias("_rv"),
     )
-    # materialize the residuals ONCE: every codebook fit below runs
-    # iters driver-collect rounds, and each round's job would otherwise
-    # re-derive the full coarse-assignment + residual chain (m_sub ×
-    # iters recomputes of the most literal-heavy expressions in the
-    # plan). Values are unaffected — the chain is deterministic — and
-    # the checkpoint is O(n·dim) doubles, the same rows the fits scan
-    rdf = rdf.localCheckpoint(eager=True)
-    books = []
-    for s in range(m_sub):
-        sub = rdf.select(
-            F.col("id").alias(id_col),
-            F.slice(F.col("_rv"), s * dim_sub + 1, dim_sub).alias("_sv"),
-        )
-        books.append(
-            kmeans_fit(sub, k=k_codes, iters=iters, vec_col="_sv", id_col=id_col)
+    fitted_here = books is None
+    if books is None:
+        # materialize the residuals ONCE: the codebook fit runs
+        # iters driver-collect rounds, and each round's job would
+        # otherwise re-derive the full coarse-assignment + residual
+        # chain (the most literal-heavy expressions in the plan).
+        # Values are unaffected — the chain is deterministic — and
+        # the checkpoint is O(n·dim) doubles, the rows the fit scans
+        # (the codes scan below then also reads the checkpoint)
+        rdf = rdf.localCheckpoint(eager=True)
+        books = pq_fit_codebooks_batch(
+            rdf, m_sub, k_codes, dim_sub, iters, vec_col="_rv", id_col="id"
         )
     c = rdf.select(
         F.col("id").alias("neighbor_id"),
@@ -1262,7 +1308,7 @@ def ivfpq_residual_ann_topk(
         "cluster",
         *[
             F.map_from_arrays(
-                F.array(*[F.lit(int(code)) for code, _ in books[s]]),
+                F.lit([int(code) for code, _ in books[s]]),
                 F.array(
                     *[
                         _sqdist_lit(
@@ -1284,7 +1330,7 @@ def ivfpq_residual_ann_topk(
         score = term if score is None else score + term
     scored = joined.withColumn("adc", score)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -1294,6 +1340,11 @@ def ivfpq_residual_ann_topk(
             F.round(F.col("adc"), round_to).alias("adc"),
         )
     )
+    if fitted_here:
+        # expose the fitted quantizers so a session-level memo can pass
+        # them back as ``books`` on later calls (k-row python lists)
+        out._residual_books = books
+    return out
 
 
 def ivfpq_residual_ann_sql(
