@@ -889,7 +889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         import shutil
         import tempfile
 
-        from cocrawler_spark.streaming.curation import neardup_dedup_sink
+        from cocrawler_spark.streaming.curation import (
+            atomic_drop,
+            neardup_dedup_sink,
+        )
 
         d = _ts(spark, sf, "documents").select(
             F.format_string("%08d", F.col("doc_id")).alias("id"),
@@ -922,8 +925,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             try:
                 q.processAllAvailable()
-                d.filter(F.col("par") == 1).select("id", "text").write.parquet(
-                    src + "/b1"
+                # atomic staged drop: writing in place races the file
+                # source's listing and can split one drop across two
+                # triggers (VERDICT r5 #1)
+                atomic_drop(
+                    d.filter(F.col("par") == 1).select("id", "text"),
+                    src + "/b1",
                 )
                 q.processAllAvailable()
             finally:

@@ -46,6 +46,28 @@ from ..functions.text import langid_col, quality_cols
 
 _SEP = "\x1f"
 
+
+def atomic_drop(df: DataFrame, dest: str) -> None:
+    """Drop a batch of files into a directory watched by a file stream
+    source so that ALL its part files appear in a single source listing.
+
+    A parquet write commits part files sequentially (task-by-task rename
+    out of ``_temporary``), so writing directly into the watched glob
+    races the FileStreamSource's directory listing: one logical drop can
+    be split across two triggers, changing which micro-batch each row
+    lands in (and therefore first-seen-wins outcomes). Staging the write
+    in a dot-prefixed sibling (hidden from Hadoop's path listing) and
+    ``os.rename``-ing the finished directory into place is atomic on one
+    filesystem, so the listing sees either nothing or the complete drop.
+    """
+    import os
+
+    dest = dest.rstrip("/")
+    parent, name = os.path.split(dest)
+    stage = os.path.join(parent, "." + name + ".staging")
+    df.write.parquet(stage)
+    os.rename(stage, dest)
+
 DEDUP_OUTPUT_SCHEMA = StructType(
     [StructField("id", StringType()), StructField("text", StringType())]
 )

@@ -7,6 +7,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from cocrawler_spark.streaming.curation import atomic_drop  # noqa: E402
+
 DOCS_SCHEMA = "id string, lang string, text string"
 
 B1 = [
@@ -55,9 +57,9 @@ def test_curation_stream_matches_batch(spark, tmp_path):
         spark, tmp_path, lambda s: curation_stream(s, **knobs), "curstream"
     )
     try:
-        spark.createDataFrame(B1, DOCS_SCHEMA).write.parquet(src + "/b1")
+        atomic_drop(spark.createDataFrame(B1, DOCS_SCHEMA), src + "/b1")
         q.processAllAvailable()
-        spark.createDataFrame(B2, DOCS_SCHEMA).write.parquet(src + "/b2")
+        atomic_drop(spark.createDataFrame(B2, DOCS_SCHEMA), src + "/b2")
         q.processAllAvailable()
         got = {r["id"] for r in spark.sql("select * from curstream").collect()}
     finally:
@@ -89,17 +91,20 @@ def test_exact_dedup_stream_state_across_batches(spark, tmp_path):
 
     src, q = _start_stream(spark, tmp_path, exact_dedup_stream, "dedupstream")
     try:
-        spark.createDataFrame(
-            B1 + [("d0", "en", "the quick brown fox jumps over the lazy dog")],
-            DOCS_SCHEMA,
-        ).write.parquet(src + "/b1")
+        atomic_drop(
+            spark.createDataFrame(
+                B1 + [("d0", "en", "the quick brown fox jumps over the lazy dog")],
+                DOCS_SCHEMA,
+            ),
+            src + "/b1",
+        )
         q.processAllAvailable()
         got1 = {r["id"] for r in spark.sql("select * from dedupstream").collect()}
         # min-id wins within the micro-batch: d0 beats d1/d4 for the
         # shared text; d2/d3 unique
         assert got1 == {"d0", "d2", "d3"}
 
-        spark.createDataFrame(B2, DOCS_SCHEMA).write.parquet(src + "/b2")
+        atomic_drop(spark.createDataFrame(B2, DOCS_SCHEMA), src + "/b2")
         q.processAllAvailable()
         got2 = {r["id"] for r in spark.sql("select * from dedupstream").collect()}
         # cross-batch: d5 duplicates d0's text -> suppressed by state
@@ -130,9 +135,13 @@ def test_incremental_pipeline_sink_matches_mirror(spark, tmp_path):
         .start()
     )
     try:
-        spark.createDataFrame(B0, "id string, text string").write.parquet(src + "/b0")
+        atomic_drop(
+            spark.createDataFrame(B0, "id string, text string"), src + "/b0"
+        )
         q.processAllAvailable()
-        spark.createDataFrame(B1, "id string, text string").write.parquet(src + "/b1")
+        atomic_drop(
+            spark.createDataFrame(B1, "id string, text string"), src + "/b1"
+        )
         q.processAllAvailable()
     finally:
         q.stop()

@@ -5,6 +5,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from cocrawler_spark.streaming.curation import atomic_drop
+
 
 def test_politeness_stream_end_to_end(spark, tmp_path):
     """Real streaming query: file source → applyInPandasWithState →
@@ -57,7 +59,7 @@ def test_politeness_stream_end_to_end(spark, tmp_path):
             ],
             "host string, url string, surt string, priority int",
         )
-        b2.write.parquet(os.path.join(src, "batch2"))
+        atomic_drop(b2, os.path.join(src, "batch2"))
         q.processAllAvailable()
         rows2 = {
             (r["surt"]): (r["slot_index"], r["slot"])

@@ -11,6 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from cocrawler_spark.streaming.curation import atomic_drop
 from tests.test_pipeline_incremental import B0, B1, B2
 
 # a batch with a WITHIN-batch near-dup pair (not exact) plus a unique
@@ -79,8 +80,9 @@ def test_neardup_stream_matches_incremental_state(spark, tmp_path):
     )
     try:
         for i, b in enumerate(batches):
-            spark.createDataFrame(b, "id string, text string").write.parquet(
-                src + f"/b{i}"
+            atomic_drop(
+                spark.createDataFrame(b, "id string, text string"),
+                src + f"/b{i}",
             )
             q.processAllAvailable()
     finally:
@@ -136,14 +138,18 @@ def test_neardup_stream_restart_resumes_state(spark, tmp_path):
 
     q = start()
     try:
-        spark.createDataFrame(B0, "id string, text string").write.parquet(src + "/b0")
+        atomic_drop(
+            spark.createDataFrame(B0, "id string, text string"), src + "/b0"
+        )
         q.processAllAvailable()
     finally:
         q.stop()
 
     q = start()
     try:
-        spark.createDataFrame(B1, "id string, text string").write.parquet(src + "/b1")
+        atomic_drop(
+            spark.createDataFrame(B1, "id string, text string"), src + "/b1"
+        )
         q.processAllAvailable()
     finally:
         q.stop()
