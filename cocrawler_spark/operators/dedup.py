@@ -67,15 +67,25 @@ def _exact_representatives(df: DataFrame, text_col: str, id_col: str) -> DataFra
     explode runs 12.1s on the coalesced single partition vs 1.5s
     respread). The extra exchange moves the same (id, text) rows the
     shingle explode is about to shuffle anyway, so its cost is bounded
-    by a fraction of the pipeline's existing traffic at every scale."""
+    by a fraction of the pipeline's existing traffic at every scale.
+
+    Round-6 shape (guide §2.3 / §3.1): the min-id winner per text hash
+    is decided on SLIM (hash, id) rows — a fixed-width HashAggregate
+    with map-side combine — and survivors are pulled by an id semi-join
+    (broadcastable key set). The previous single groupBy carried
+    ``first(text)`` in the aggregation buffer, and Spark plans
+    declarative aggs with var-width buffers as SortAggregate: the FULL
+    text table was sorted twice (partial + final) per query."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keep_ids = (
+        df.select(F.md5(F.col(text_col)).alias("_th"), F.col(id_col).alias("id"))
+        .groupBy("_th")
+        .agg(F.min("id").alias("id"))
+        .select("id")
+    )
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("_th"))
-        .agg(
-            F.min(F.col(id_col)).alias("id"),
-            F.first(F.col(text_col)).alias("_text"),
-        )
-        .select("id", F.col("_text").alias(text_col))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col))
+        .join(keep_ids, "id", "left_semi")
         .repartition(n)
     )
 
@@ -270,28 +280,33 @@ def minhash_lsh_pairs(
 # n-gram Jaccard (exact, candidate-generated by shared shingle)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
+def _shingle_inter_sizes(
     df: DataFrame,
     text_col: str,
     id_col: str,
-    shingle_n: int = 3,
-    threshold: float = 0.5,
-    max_df: Optional[int] = 256,
-    log_fn: Optional[Callable[[str], None]] = None,
-) -> DataFrame:
-    """Jaccard over distinct shingle sets for all pairs sharing ≥1
-    shingle. |A∩B| from the shingle equi-join; |A|,|B| from per-doc
-    counts; J = inter / (|A|+|B|-inter).
+    shingle_n: int,
+    max_df: Optional[int],
+    log_fn: Optional[Callable[[str], None]],
+    op_name: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate stage of the shingle-overlap pair operators:
+    (inter, sizes) where inter = (id_a, id_b, inter) for every doc pair
+    sharing ≥1 surviving shingle and sizes = (id, n_sh) per doc over the
+    df-capped shingle sets.
 
-    ``max_df``: shingles appearing in more than max_df documents are
-    removed from every shingle set *before* sizes and the self-join
-    (standard stop-shingle practice). A shingle with document frequency
-    d contributes d·(d−1)/2 join rows — one boilerplate 3-gram at web
-    scale otherwise explodes the candidate stage quadratically. Sizes
-    are computed on the capped sets, so Jaccard stays internally
-    consistent (and the DuckDB oracle mirrors the cap). NOT silent:
-    pass ``log_fn`` to count and report the dropped shingles (opt-in —
-    costs one extra aggregate action)."""
+    ONE-subtree formulation (round-6 rewrite, guide §2.4/§3.3): the
+    exploded (id, shingle) table is exchanged by shingle ONCE; the df-cap
+    window, the per-shingle bucket groupBy (same key ⇒ no second
+    exchange), and the per-doc sizes groupBy (ReusedExchange on the
+    shingle shuffle) all hang off that one shuffle, and candidate pairs
+    come from an in-bucket posexplode instead of a shingle self-join.
+    The previous a⋈b self-join form planned the scan→shingle→explode→
+    window subtree FOUR times (a side, b side, and both size joins —
+    measured 25.1 s at the driver's sf1.0) and shuffled the exploded
+    table twice more for the join. Values are identical: bucket ids are
+    distinct (per-doc shingles are array_distinct) and sorted ascending,
+    so pa < pb enumerates exactly the a.id < b.id join pairs, one row
+    per shared shingle."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_hashes_col(F.col(text_col), shingle_n)).alias("sh"),
@@ -305,17 +320,51 @@ def ngram_jaccard_pairs(
             )
             if n_hot:
                 log_fn(
-                    f"ngram_jaccard_pairs: dropped {n_hot} shingle(s) with "
+                    f"{op_name}: dropped {n_hot} shingle(s) with "
                     f"document frequency > max_df={max_df}"
                 )
         sh = sized.filter(F.col("_df") <= max_df).drop("_df")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    buckets = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = (
+        buckets.select(F.posexplode("ids").alias("pa", "id_a"), "ids")
+        .select("pa", "id_a", F.posexplode("ids").alias("pb", "id_b"))
+        .filter(F.col("pa") < F.col("pb"))
+    )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
+    return inter, sizes
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: Optional[int] = 256,
+    log_fn: Optional[Callable[[str], None]] = None,
+) -> DataFrame:
+    """Jaccard over distinct shingle sets for all pairs sharing ≥1
+    shingle. |A∩B| from the per-shingle bucket pair stage
+    (:func:`_shingle_inter_sizes`); |A|,|B| from per-doc counts;
+    J = inter / (|A|+|B|-inter).
+
+    ``max_df``: shingles appearing in more than max_df documents are
+    removed from every shingle set *before* sizes and the pair stage
+    (standard stop-shingle practice). A shingle with document frequency
+    d contributes d·(d−1)/2 candidate rows — one boilerplate 3-gram at
+    web scale otherwise explodes the candidate stage quadratically.
+    Sizes are computed on the capped sets, so Jaccard stays internally
+    consistent (and the DuckDB oracle mirrors the cap). NOT silent:
+    pass ``log_fn`` to count and report the dropped shingles (opt-in —
+    costs one extra aggregate action)."""
+    inter, sizes = _shingle_inter_sizes(
+        df, text_col, id_col, shingle_n, max_df, log_fn,
+        "ngram_jaccard_pairs",
     )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -346,28 +395,14 @@ def ngram_containment_pairs(
     aggregators — the classic web-dedup case Broder's containment
     measure targets); C answers "is the smaller doc mostly inside the
     bigger one". Same candidate generation as
-    :func:`ngram_jaccard_pairs` — shared-shingle equi-join with the
-    ``max_df`` hot-shingle cap — so the join stays bucket-bounded at
-    web scale; only the final scalar differs.
+    :func:`ngram_jaccard_pairs` — per-shingle buckets with the
+    ``max_df`` hot-shingle cap (:func:`_shingle_inter_sizes`) — so the
+    pair stage stays bucket-bounded at web scale; only the final scalar
+    differs.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_hashes_col(F.col(text_col), shingle_n)).alias("sh"),
-    )
-    if max_df is not None:
-        wdf = Window.partitionBy("sh")
-        sh = (
-            sh.withColumn("_df", F.count("*").over(wdf))
-            .filter(F.col("_df") <= max_df)
-            .drop("_df")
-        )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    inter, sizes = _shingle_inter_sizes(
+        df, text_col, id_col, shingle_n, max_df, None,
+        "ngram_containment_pairs",
     )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
@@ -815,12 +850,22 @@ def _window_positions(df: DataFrame, text_col: str, id_col: str,
         ).select("id", (F.col("_pos") + 1).alias("p"), "wh")
         if s > 1:
             wins = wins.filter((F.col("p") - 1) % s == 0)
-    freq = wins.groupBy("wh").agg(F.count("*").alias("_f"))
-    dup = (
-        wins.join(freq, "wh")
+    # One-subtree dup detection (round 6, guide §2.4): the window-hash
+    # chain (the O(n·w) slice hashing) is the dominant compute, and the
+    # freq aggregate + the join probe previously each planned their own
+    # copy of it — the whole explode+hash subtree ran TWICE. Exchanging
+    # wins by wh ONCE lets the groupBy run exchange-free on the same
+    # shuffle output and the join probe consume it via ReusedExchange,
+    # so the hashes are computed exactly once and nothing is sorted.
+    # The freq filter moves before the join (inner-join-equivalent),
+    # shrinking the broadcast to actual duplicate window hashes.
+    wins = wins.repartition(F.col("wh"))
+    freq = (
+        wins.groupBy("wh")
+        .agg(F.count("*").alias("_f"))
         .filter(F.col("_f") >= 2)
-        .select("id", "p")
     )
+    dup = wins.join(freq, "wh").select("id", "p")
     return base, dup
 
 
