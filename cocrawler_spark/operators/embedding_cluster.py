@@ -496,6 +496,112 @@ def _label_with_vec(
 SEMDEDUP_BROADCAST_CEILING = 256 * 1024 * 1024
 
 
+def _round6_ge_boundary(threshold: float):
+    """Exact real-number boundary of ``ROUND(x, 6) >= threshold`` for
+    doubles: the JVM rounds the decimal string of x half-up to 6 dp and
+    compares the result (a double of an exact multiple of 1e-6) against
+    the threshold double — which holds iff the decimal value of x's
+    string is >= (k* - 1/2)·1e-6, where k* is the smallest integer k
+    with float(k·1e-6) >= threshold. Returns that boundary as an exact
+    Decimal."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    k = int(
+        Decimal(threshold).scaleb(6).to_integral_value(rounding=ROUND_HALF_UP)
+    )
+    while k > 0 and float(Decimal(k - 1) / Decimal(10**6)) >= threshold:
+        k -= 1
+    while float(Decimal(k) / Decimal(10**6)) < threshold:
+        k += 1
+    return (Decimal(k) - Decimal("0.5")) / Decimal(10**6)
+
+
+def _numpy_pair_losers(withv: DataFrame, threshold: float) -> DataFrame:
+    """Loser ids of the within-cluster cosine pair stage, computed by
+    batched NumPy instead of a per-pair interpreted fold — the
+    broadcast-branch twin of the expression plan, value-identical.
+
+    Guide §4.2: the pair stage is dense linear algebra (every pair in a
+    cluster needs one dot product), and Spark evaluates the zip_with/
+    aggregate fold interpreted per element (~µs per pair) while the
+    vectors themselves are only n·dim doubles. So ship the VECTORS, not
+    the pairs, across the Python boundary once (the same (id, cluster,
+    vec, norm) rows the JVM broadcast branch collected anyway, gated by
+    the same size ceiling), and compute each a-row's cosines against
+    its cluster's member matrix in vectorized chunks.
+
+    Bit-exactness: the accumulation loops over dimensions in index
+    order from 0.0 — the identical IEEE operation sequence as the
+    ``aggregate(zip_with(·,·,*), 0.0, +)`` fold — and the norms are the
+    JVM-computed ``_nrm`` column, so every cosine double is bit-equal
+    to the expression path's. The ROUND(·,6) >= threshold gate is
+    decided by exact real comparison against the decimal boundary
+    (``_round6_ge_boundary``) with a ±1e-9 indifference band; values
+    inside the band (none in practice — cosines land there with
+    probability ~1e-10) fall back to the decimal-string comparison the
+    JVM itself performs."""
+    import numpy as np
+    import pandas as pd
+
+    spark = withv.sparkSession
+    side = withv.select(
+        "cluster", "id", F.col("_v").cast("array<double>").alias("_vd"), "_nrm"
+    )
+    pdf = side.toPandas()
+    by_cluster: dict[int, tuple] = {}
+    for cl, grp in pdf.groupby("cluster"):
+        ids = grp["id"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in grp["_vd"]])
+        nrm = grp["_nrm"].to_numpy(dtype=np.float64)
+        by_cluster[int(cl)] = (ids, mat, nrm)
+    bc = spark.sparkContext.broadcast(by_cluster)
+    bound = _round6_ge_boundary(threshold)
+    bound_f = float(bound)
+    eps = 1e-9
+
+    def gen(batches):
+        from decimal import Decimal
+
+        data = bc.value
+        for batch in batches:
+            losers: set[int] = set()
+            for cl, grp in batch.groupby("cluster"):
+                ent = data.get(int(cl))
+                if ent is None:
+                    continue
+                bids, bmat, bnrm = ent
+                aids = grp["id"].to_numpy(dtype=np.int64)
+                amat = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in grp["_vd"]]
+                )
+                anrm = grp["_nrm"].to_numpy(dtype=np.float64)
+                chunk = max(1, 4_000_000 // max(len(bids), 1))
+                for s in range(0, len(aids), chunk):
+                    a = amat[s : s + chunk]
+                    ai = aids[s : s + chunk]
+                    an = anrm[s : s + chunk]
+                    acc = np.zeros((a.shape[0], bmat.shape[0]))
+                    for d in range(a.shape[1]):
+                        acc += a[:, d : d + 1] * bmat[:, d]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = acc / (an[:, None] * bnrm[None, :])
+                    valid = bids[None, :] > ai[:, None]
+                    passed = valid & (cos >= bound_f + eps)
+                    if passed.any():
+                        losers.update(
+                            int(x) for x in bids[np.nonzero(passed)[1]]
+                        )
+                    band = valid & (cos > bound_f - eps) & (cos < bound_f + eps)
+                    for r, c in zip(*np.nonzero(band)):
+                        if Decimal(repr(float(cos[r, c]))) >= bound:
+                            losers.add(int(bids[c]))
+            yield pd.DataFrame({"id": pd.array(sorted(losers), dtype="int64")})
+
+    return side.select("cluster", "id", "_vd", "_nrm").mapInPandas(
+        gen, "id long"
+    ).distinct()
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 8,
@@ -552,22 +658,24 @@ def semdedup(
     withv = withv.withColumn(
         "_nrm", _norm(F.col("_v").cast("array<double>"))
     )
-    a = withv.select(
-        "cluster", F.col("id").alias("id_a"), F.col("_v").alias("va"),
-        F.col("_nrm").alias("na"),
-    )
-    b = withv.select(
-        "cluster", F.col("id").alias("id_b"), F.col("_v").alias("vb"),
-        F.col("_nrm").alias("nb"),
-    )
     sc = emb.sparkSession.sparkContext
     # size the build side from a pruned count (ids only — the count job
     # must not drag the vector column through any upstream exchange)
     n_rows = emb.select(F.col(id_col)).count()
     est_bytes = n_rows * (dim * 8 + 32)
     if est_bytes <= SEMDEDUP_BROADCAST_CEILING:
-        pairs = a.join(F.broadcast(b), "cluster")
+        # numpy twin of the broadcast-join pair plan (same size gate,
+        # same driver/executor footprint) — see _numpy_pair_losers
+        losers = _numpy_pair_losers(withv, float(threshold))
     else:
+        a = withv.select(
+            "cluster", F.col("id").alias("id_a"), F.col("_v").alias("va"),
+            F.col("_nrm").alias("na"),
+        )
+        b = withv.select(
+            "cluster", F.col("id").alias("id_b"), F.col("_v").alias("vb"),
+            F.col("_nrm").alias("nb"),
+        )
         salt = max(1, -(-4 * sc.defaultParallelism // max(k, 1)))
         b_blk = b.withColumn(
             "_blk", F.pmod(F.xxhash64(F.col("id_b")), F.lit(salt))
@@ -576,20 +684,20 @@ def semdedup(
             "_blk", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
         )
         pairs = a_exp.join(b_blk, ["cluster", "_blk"]).drop("_blk")
-    pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
-    losers = (
-        pairs.withColumn(
-            "cos",
-            _dot(
-                F.col("va").cast("array<double>"),
-                F.col("vb").cast("array<double>"),
+        pairs = pairs.filter(F.col("id_a") < F.col("id_b"))
+        losers = (
+            pairs.withColumn(
+                "cos",
+                _dot(
+                    F.col("va").cast("array<double>"),
+                    F.col("vb").cast("array<double>"),
+                )
+                / (F.col("na") * F.col("nb")),
             )
-            / (F.col("na") * F.col("nb")),
+            .filter(F.round(F.col("cos"), 6) >= float(threshold))
+            .select(F.col("id_b").alias("id"))
+            .distinct()
         )
-        .filter(F.round(F.col("cos"), 6) >= float(threshold))
-        .select(F.col("id_b").alias("id"))
-        .distinct()
-    )
     return labeled.select("id", "cluster").join(losers, "id", "left_anti")
 
 

@@ -100,8 +100,16 @@ def train_data_pipeline(
     ``embedding_neardup_pairs``; no cross product), cosine ≥
     ``emb_threshold`` drops the larger id. Docs without an embedding
     row pass the stage untouched."""
-    # 1. exact collapse: one hash groupBy, min-id representative
-    reps = _exact_representatives(docs, text_col, id_col)
+    # 1. exact collapse: one hash groupBy, min-id representative.
+    # localCheckpoint (lazy): reps feeds the candidate-pair subtree AND
+    # the survivor anti/semi-join (and the quality scoring under
+    # survivor='quality') — without materialization each consumer
+    # re-plans the scan + hash collapse from scratch (guide §5:
+    # reused-and-expensive intermediates are the case worth caching;
+    # the blocks are freed when the session drops the RDD).
+    reps = _exact_representatives(docs, text_col, id_col).localCheckpoint(
+        eager=False
+    )
 
     # 2. near-dup candidates on the collapsed set (precollapse=False —
     # stage 1 already did it); drop the larger id of every pair
