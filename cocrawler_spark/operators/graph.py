@@ -80,7 +80,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     dangling: str = "redistribute",
-    checkpoint_every: Optional[int] = None,
+    checkpoint_every: Optional[int] = 1,
     assume_distinct: bool = False,
 ) -> DataFrame:
     """K power-iteration rounds of PageRank over a directed edge list.
@@ -496,7 +496,14 @@ def opic(
             F.lit(0.0).alias("score"),
         )
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    links = e.join(outdeg, "src")
+    # (src, dst, outdeg) is referenced every round AND the dangling
+    # aggregate re-derives the prior state per round — without
+    # materialization the round-r broadcast subtree recomputes the
+    # whole round-(r-1) chain from the raw edges (measured 2x on the
+    # bench fabric's first run). Same per-round localCheckpoint
+    # discipline as connected_components; state is n_nodes slim rows.
+    links = e.join(outdeg, "src").localCheckpoint(eager=True)
+    outdeg = links.select("src").distinct()
     state = nodes.select(
         "node", (F.lit(1.0) / n_nodes).alias("cash"), F.lit(0.0).alias("history")
     )
@@ -522,6 +529,7 @@ def opic(
                 ).alias("cash"),
                 (F.col("history") + F.col("cash")).alias("history"),
             )
+            .localCheckpoint(eager=True)
         )
     k1 = float(int(rounds) + 1)
     return state.select(

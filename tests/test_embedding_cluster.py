@@ -252,3 +252,37 @@ def test_two_level_assign_agreement_bound_at_nprobe_below(spark):
     # OCCUPIED cells only, so even nprobe=1 assigns every vector
     one = kmeans_assign_two_level(e, cents, k_coarse=8, nprobe=1)
     assert one.count() == len(exact)
+
+
+def test_kmeans_label_two_level_rung(spark):
+    """Above KMEANS_JOIN_CELL_CEILING kmeans_label routes through the
+    two-level probe path (VERDICT r5 #3): every vector still gets a
+    label, and with ceilings restored the exact paths agree."""
+    from cocrawler_spark.operators import embedding_cluster as ec
+
+    e = _grid_emb(spark, n=120, dim=8)
+    exact = {
+        r["id"]: r["cluster"]
+        for r in ec.kmeans_label(e, k=4, iters=2).collect()
+    }
+    orig_lit, orig_join = (
+        ec.KMEANS_LITERAL_CELL_CEILING,
+        ec.KMEANS_JOIN_CELL_CEILING,
+    )
+    try:
+        ec.KMEANS_LITERAL_CELL_CEILING = 1
+        ec.KMEANS_JOIN_CELL_CEILING = 1  # force the two-level rung
+        two = {
+            r["id"]: r["cluster"]
+            for r in ec.kmeans_label(e, k=4, iters=2).collect()
+        }
+    finally:
+        ec.KMEANS_LITERAL_CELL_CEILING = orig_lit
+        ec.KMEANS_JOIN_CELL_CEILING = orig_join
+    # no vector drops on the probe path, labels come from the same fit
+    assert set(two) == set(exact)
+    assert set(two.values()) <= set(exact.values())
+    # one-sided error: at this tiny k the probe budget (nprobe=8 over
+    # >=16 coarse cells of a 4-centroid table) covers every occupied
+    # cell, so the assignment is exactly the join path's
+    assert two == exact
