@@ -570,10 +570,16 @@ def duplicated_chunk_stats(
     join back on the same key → per-doc re-aggregation. No collects,
     no windows over the corpus.
     """
+    # one explicit exchange by chunk hash: the frequency aggregate and
+    # the join probe share it (ReusedExchange), so the explode+hash
+    # subtree is computed once instead of twice (round 6, guide §2.4 —
+    # same restructure as _window_positions)
     chunks = df.select(
         F.col(id_col).alias("id"),
         F.explode(chunk_col(F.col(text_col), chunk_words)).alias("chunk"),
-    ).select("id", md5_hash64_col(F.col("chunk")).alias("ch"))
+    ).select("id", md5_hash64_col(F.col("chunk")).alias("ch")).repartition(
+        F.col("ch")
+    )
     freq = chunks.groupBy("ch").agg(F.count("*").alias("_f"))
     return (
         chunks.join(freq, "ch")
@@ -608,10 +614,15 @@ def chunk_dedup(
     (array_sort over (pos, chunk) structs — per-doc, not a global
     sort).
     """
+    # shared exchange by chunk hash (see duplicated_chunk_stats): the
+    # winner aggregate and the join probe reuse one shuffle of the
+    # exploded chunks instead of re-running the explode+hash subtree
     chunks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(chunk_col(F.col(text_col), chunk_words)).alias("pos", "chunk"),
-    ).withColumn("ch", md5_hash64_col(F.col("chunk")))
+    ).withColumn("ch", md5_hash64_col(F.col("chunk"))).repartition(
+        F.col("ch")
+    )
     winner = chunks.groupBy("ch").agg(
         F.min(F.struct("id", "pos")).alias("_w")
     )

@@ -239,6 +239,14 @@ def host_skew_stats_sql(
     cast to BIGINT (DuckDB SUM(BIGINT) widens to HUGEINT) and the
     products stay integer-exact before the single cast-to-double
     division."""
+    if from_clause.lstrip().upper().startswith("FROM "):
+        # the round-5 signature change made this a bare table/subquery
+        # expression; a caller still passing the old "FROM ..." form
+        # would only fail at execution with "FROM FROM ..." (ADVICE r5)
+        raise ValueError(
+            "from_clause is a table/subquery expression; do not include "
+            "the FROM keyword"
+        )
     g = f"{group_expr} AS grp, " if group_expr else ""
     gsel = "grp, " if group_expr else ""
     gby = "GROUP BY grp" if group_expr else ""

@@ -124,6 +124,18 @@ class CrawlEngine:
         except Exception:
             self._saved_plan_len = None
         spark.conf.set("spark.sql.maxPlanStringLength", "1024")
+        if cfg.memoize_candidates and cfg.opic_priority:
+            # The candidate memo drops previously-disposed (raw, base)
+            # pairs BEFORE the OPIC cash pooling, so cash carried by
+            # those links would silently vanish from host_cash — the
+            # memo flag (documented as a pure optimization cache) would
+            # change priority accounting (ADVICE r5). Fail fast until
+            # the memo carries the pooled cash of skipped pairs.
+            raise ValueError(
+                "memoize_candidates and opic_priority cannot be combined: "
+                "the candidate memo would drop the OPIC cash of "
+                "previously-seen links before it pools into host_cash"
+            )
         self.cfg = cfg
         self.documents = documents
         # Co-partitioned fetch join (the storage-partitioned-join analog;

@@ -184,3 +184,31 @@ def test_feedback_flags_resume_equals_uninterrupted(spark, tmp_path):
     fa = sorted(map(tuple, a.frontier.select("url", "priority").collect()))
     fb = sorted(map(tuple, b2.frontier.select("url", "priority").collect()))
     assert fa == fb
+
+
+def test_memoize_plus_opic_rejected(spark, tmp_path):
+    """cfg.memoize_candidates + cfg.opic_priority is an unsupported
+    combination (ADVICE r5: the memo would drop previously-seen links'
+    OPIC cash before pooling) — the engine fails fast at construction."""
+    import pytest
+
+    from cocrawler_spark.config import CrawlConfig
+    from cocrawler_spark.plans.crawl import CrawlEngine
+    from cocrawler_spark.sources.corpus import (
+        read_documents,
+        read_robots_src,
+        read_seed_parquet,
+    )
+    from cocrawler_spark.synth import generate, write_parquet
+
+    web = generate("tiny", seed=42)
+    paths = write_parquet(web, str(tmp_path / "web"))
+    with pytest.raises(ValueError, match="memoize_candidates"):
+        CrawlEngine(
+            spark,
+            CrawlConfig(memoize_candidates=True, opic_priority=True),
+            documents=read_documents(spark, paths["documents"]),
+            robots_src=read_robots_src(spark, paths["robots_src"]),
+            seeds=read_seed_parquet(spark, paths["seeds"]),
+            state_dir=str(tmp_path / "state"),
+        )
