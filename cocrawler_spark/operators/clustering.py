@@ -131,20 +131,17 @@ def connected_components(
             F.col("id").cast(pairs.schema[id_a].dataType).alias("id"),
             F.col("component").cast(pairs.schema[id_a].dataType).alias("component"),
         )
-    # TWO star-rounds per checkpoint+checksum (round 6): each
-    # materialization and its convergence collect are sequential
-    # driver-blocking jobs, and on the shallow star graphs LSH pairs
-    # produce the loop converges in 2-3 rounds — so halving the number
-    # of materializations nearly halves the loop's fixed overhead. A
-    # 2-round plan is ~4x the 1-round plan, still far below the round-3
-    # blowup measured above; and because the fixed point is stable
-    # under extra rounds, running one round past convergence cannot
-    # change the result — the checksum test stays exact.
+    # One star-round per checkpoint+checksum. Round 6 measured the
+    # 2-rounds-per-batch variant (halve the convergence collects) and
+    # REJECTED it: the pair graphs converge in 2-3 rounds, so batching
+    # mostly runs extra star rounds past the fixed point — ~6 AQE
+    # stages each — which costs more than the 1-job checksum it saves
+    # (train_pipeline_keep_best interleaved A/B at sf0.1: batch-2
+    # 6.6-17.5 s vs per-round 4.7-6.3 s).
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges))
-        nxt = _small_star(_large_star(nxt)).localCheckpoint(eager=True)
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         cur = _checksum(nxt)
-        edges.unpersist()  # free the previous batch's checkpoint blocks
+        edges.unpersist()  # free the previous round's checkpoint blocks
         edges = nxt
         if cur == prev:
             break

@@ -121,6 +121,7 @@ def pagerank(
     teleport = (1.0 - damping) / n_nodes
 
     ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("rank"))
+    prev_ck = None  # last intermediate round checkpoint, freed on supersede
     try:
         for i in range(iters):
             contribs = (
@@ -161,10 +162,16 @@ def pagerank(
                 )
             if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
                 ranks = ranks.localCheckpoint(eager=True)
+                if prev_ck is not None:
+                    prev_ck.unpersist()  # superseded round's blocks
+                prev_ck = ranks
         # materialize before releasing the cached edge table: the K
         # rounds reference `links` K times, and unpersisting a still-lazy
         # result would recompute the distinct+join per round instead.
-        return ranks.localCheckpoint(eager=True)
+        out = ranks.localCheckpoint(eager=True)
+        if prev_ck is not None:
+            prev_ck.unpersist()
+        return out
     finally:
         links.unpersist()
 
@@ -507,6 +514,7 @@ def opic(
     state = nodes.select(
         "node", (F.lit(1.0) / n_nodes).alias("cash"), F.lit(0.0).alias("history")
     )
+    prev_ck = None
     for _ in range(int(rounds)):
         inflow = (
             links.join(state, links["src"] == state["node"])
@@ -531,6 +539,10 @@ def opic(
             )
             .localCheckpoint(eager=True)
         )
+        if prev_ck is not None:
+            prev_ck.unpersist()  # superseded round's blocks
+        prev_ck = state
+    links.unpersist()  # rounds are materialized; the edge blocks are done
     k1 = float(int(rounds) + 1)
     return state.select(
         "node",
